@@ -1,0 +1,166 @@
+"""Batching data loader with per-host sharding and background prefetch.
+
+Replaces the reference's torch DataLoader + Lightning DDP sampler
+(/root/reference/datasets/datamodule.py:69-88): deterministic per-epoch
+shuffle, ``drop_last`` batching, per-host sharding for multi-host meshes
+(the DistributedSampler equivalent Lightning inserted implicitly), and a
+background prefetch thread so npy decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _stack_items(items: List[Dict]) -> Dict:
+    out: Dict = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], str):
+            out[k] = vals
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    """Iterable over stacked-numpy batches.
+
+    ``process_index``/``process_count`` shard the *global* batch order so
+    each host sees a disjoint, equally-sized stream (drop_last semantics,
+    reference: datamodule.py:69-84).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, seed: int = 783435,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict]:
+        order = self._order()
+        # contiguous per-host shard of the shuffled order
+        per = len(order) // self.process_count
+        order = order[self.process_index * per:(self.process_index + 1) * per]
+        nb = len(self)
+        for b in range(nb):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idxs) == 0:
+                return
+            yield _stack_items([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # surface loader errors to the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+class DataModule:
+    """Dataset selection by spec_dir_path substring
+    (reference: datasets/datamodule.py:22-66)."""
+
+    def __init__(self, batch_size: int, spec_dir_path: str,
+                 num_workers: Optional[int] = None, mel_num: int = 80,
+                 spec_len: int = 860, spec_crop_len: int = 848,
+                 random_crop: bool = False, seed: int = 783435,
+                 data_root: str = "./data",
+                 process_index: int = 0, process_count: int = 1):
+        self.batch_size = batch_size
+        self.spec_dir_path = spec_dir_path
+        self.kw = dict(mel_num=mel_num, spec_len=spec_len,
+                       spec_crop_len=spec_crop_len, random_crop=random_crop)
+        self.seed = seed
+        self.data_root = data_root
+        self.process_index = process_index
+        self.process_count = process_count
+        self.train_dataset = None
+        self.val_dataset = None
+        self.test_dataset = None
+
+    def setup(self, stage=None):
+        from .datasets import VASSpecs, VGGSoundSpecs
+        if "vggsound" in self.spec_dir_path:
+            mk = lambda split: VGGSoundSpecs(  # noqa: E731
+                split, self.spec_dir_path,
+                splits_path=self.data_root,
+                meta_path=f"{self.data_root}/vggsound.csv", **self.kw)
+            self.train_dataset = mk("train")
+            self.val_dataset = mk("valid")
+            self.test_dataset = mk("test")
+        elif "vas" in self.spec_dir_path:
+            mk = lambda split: VASSpecs(  # noqa: E731
+                split, self.spec_dir_path, data_root=self.data_root,
+                **self.kw)
+            self.train_dataset = mk("train")
+            self.val_dataset = mk("valid")
+        else:
+            raise ValueError(
+                f"cannot infer dataset from {self.spec_dir_path!r}")
+
+    def _loader(self, ds, shuffle):
+        return DataLoader(ds, self.batch_size, shuffle=shuffle,
+                          drop_last=True, seed=self.seed,
+                          process_index=self.process_index,
+                          process_count=self.process_count)
+
+    def train_dataloader(self):
+        return self._loader(self.train_dataset, True)
+
+    def val_dataloader(self):
+        return self._loader(self.val_dataset, False)
+
+    def val_dataloader_shuffled(self):
+        return self._loader(self.val_dataset, True)
+
+    def test_dataloader(self):
+        return self._loader(self.test_dataset, False)

@@ -1,0 +1,348 @@
+"""GPT-VAE: unmasked-GPT Gaussian encoder + latent-conditioned causal GPT
+decoder, with the full ELBO / free-bits / MI / AU machinery.
+
+Capability parity with the reference stack:
+  * ``GPTEncoder`` (/root/reference/transformer/encoders.py:11-170): a GPT
+    run fully unmasked (``n_unmasked = block_size``) with a ``2*n_embd``
+    head; the **last position's** output chunks into (mean, logvar);
+    optional ``fix_var``; reparameterised sampling; closed-form KL vs
+    N(0, I); log q(z|x); per-batch MI estimate.
+  * ``GPTDecoder`` (/root/reference/transformer/decoders.py:10-124): causal
+    GPT with z prepended as one soft token (block 266); per-(sample,
+    sequence) summed CE ``reconstruct_error``; ``log_probability``;
+    KV-cached AR sampling (the reference loops full forwards).
+  * ``GPT_VAE`` losses (/root/reference/transformer/Lit_GPT_VAE.py:176-195,
+    246-315): ELBO with KL weight, free-bits variants fb∈{0,1,2,3}, AE mode
+    (beta=0), corpus MI (:395-482) and active units (:485-525).
+
+Everything is a pure function over a {'encoder','decoder'} param pytree —
+the KL-anneal schedule state lives in the train state (training/vae_task).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import GPTConfig, VAEConfig
+from .gpt import (cross_entropy_loss, gpt_apply, gpt_generate,
+                  init_gpt_params)
+
+Params = Dict[str, Any]
+
+
+class VAEConfigs(NamedTuple):
+    """Derived encoder/decoder transformer configs
+    (reference: Lit_GPT_VAE.py:42-43 — the encoder is built without dropout
+    since GPTEncoder's ctor defaults are 0; the decoder gets args dropouts
+    and block_size+1 for the z token)."""
+
+    encoder: GPTConfig
+    decoder: GPTConfig
+    vae: VAEConfig
+
+    @property
+    def nz(self) -> int:
+        return self.encoder.n_embd
+
+
+def make_vae_configs(base: GPTConfig, vae: VAEConfig) -> VAEConfigs:
+    enc = base.replace(n_unmasked=base.block_size,
+                       last_linear=2 * base.n_embd,
+                       embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    dec = base.replace(block_size=base.block_size + 1, n_unmasked=0,
+                       last_linear=None)
+    return VAEConfigs(enc, dec, vae)
+
+
+def init_vae_params(key: jax.Array, cfgs: VAEConfigs) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"encoder": init_gpt_params(k1, cfgs.encoder),
+            "decoder": init_gpt_params(k2, cfgs.decoder)}
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(params: Params, cfgs: VAEConfigs, x: jnp.ndarray, *,
+                    return_attn: bool = False, use_pallas=None):
+    """x (B, T) tokens -> (mean (B, nz), logvar (B, nz)[, attn]).
+
+    (reference: encoders.py:21-42 — last position, chunk(2), fix_var)."""
+    logits, att = gpt_apply(params["encoder"], cfgs.encoder, x,
+                            return_attn=return_attn, use_pallas=use_pallas)
+    last = logits[:, -1, :]
+    mean, logvar = jnp.split(last, 2, axis=-1)
+    if cfgs.vae.fix_var > 0:
+        logvar = jnp.full_like(mean, math.log(cfgs.vae.fix_var))
+    if return_attn:
+        return mean, logvar, att
+    return mean, logvar
+
+
+def reparameterize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray,
+                   nsamples: int = 1) -> jnp.ndarray:
+    """(B, nz) -> (B, nsamples, nz) (reference: encoders.py:81-104)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(key, (mu.shape[0], nsamples, mu.shape[1]),
+                            mu.dtype)
+    return mu[:, None, :] + eps * std[:, None, :]
+
+
+def gaussian_kl(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """KL(q || N(0, I)) summed over dims -> (B,)
+    (reference: encoders.py:77)."""
+    return 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - logvar - 1.0, axis=1)
+
+
+def gaussian_kl_per_dim(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """(B, nz) per-dimension KL (for fb=2 free bits,
+    reference: Lit_GPT_VAE.py:277-285)."""
+    return 0.5 * (mu ** 2 + jnp.exp(logvar) - logvar - 1.0)
+
+
+def encode(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
+           nsamples: int = 1, *, use_pallas=None):
+    """-> (z (B, ns, nz), KL (B,)) (reference: encoders.py:62-79)."""
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    z = reparameterize(key, mu, logvar, nsamples)
+    return z, gaussian_kl(mu, logvar)
+
+
+def eval_inference_dist(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
+                        z: jnp.ndarray, param=None) -> jnp.ndarray:
+    """log q(z|x) -> (B, nsamples) (reference: encoders.py:106-134)."""
+    nz = z.shape[2]
+    if param is None:
+        mu, logvar = encoder_forward(params, cfgs, x)
+    else:
+        mu, logvar = param
+    mu, logvar = mu[:, None, :], logvar[:, None, :]
+    var = jnp.exp(logvar)
+    dev = z - mu
+    return (-0.5 * jnp.sum(dev ** 2 / var, axis=-1)
+            - 0.5 * (nz * math.log(2 * math.pi) + jnp.sum(logvar, -1)))
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decoder_logits(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
+                   z_one: jnp.ndarray, *, train: bool = False,
+                   rng: Optional[jax.Array] = None, use_pallas=None):
+    """Teacher-forced decoder logits for one z sample.
+
+    x: (B, T) targets; z_one: (B, nz).  Input is [z, x[:, :-1]], output is
+    cut so position i predicts p(x_i | x_<i, z)
+    (reference: decoders.py:23-38 with cond length 1).
+    """
+    cond = z_one[:, None, :]
+    logits, _ = gpt_apply(params["decoder"], cfgs.decoder, x[:, :-1], cond,
+                          train=train, rng=rng, use_pallas=use_pallas)
+    return logits  # (B, T, V): cond contributes 1, x contributes T-1
+
+
+def reconstruct_error(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
+                      z: jnp.ndarray, *, train: bool = False,
+                      rng: Optional[jax.Array] = None,
+                      use_pallas=None) -> jnp.ndarray:
+    """Summed CE per (batch, sample) -> (B, ns)
+    (reference: decoders.py:40-68)."""
+    def one(z_s, k):
+        logits = decoder_logits(params, cfgs, x, z_s, train=train, rng=k,
+                                use_pallas=use_pallas)
+        nll = cross_entropy_loss(logits, x, reduce="none")  # (B, T)
+        return jnp.sum(nll, axis=-1)
+
+    ns = z.shape[1]
+    if rng is not None:
+        keys = jax.random.split(rng, ns)
+    else:
+        keys = jnp.zeros((ns, 2), jnp.uint32)
+    errs = jax.vmap(one, in_axes=(1, 0), out_axes=1)(z, keys)
+    return errs  # (B, ns)
+
+
+def log_probability(params, cfgs, x, z) -> jnp.ndarray:
+    """log p(x|z) = -reconstruct_error (reference: decoders.py:71-81)."""
+    return -reconstruct_error(params, cfgs, x, z)
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs", "strategy", "top_k",
+                                             "temperature", "use_pallas"))
+def vae_decode(params: Params, cfgs: VAEConfigs, key: jax.Array,
+               z: jnp.ndarray, strategy: str = "greedy",
+               top_k: Optional[int] = None,
+               temperature: Optional[float] = None,
+               use_pallas=None) -> jnp.ndarray:
+    """Generate token sequences from z.
+
+    Strategies mirror the reference (Lit_GPT_VAE.py:108-143): "greedy" and
+    "sample" are deterministic argmax; "beam" is actually top-k sampling
+    (see the TODO acknowledged at GPT_VAE_callbacks.py:249-250).
+    Returns (B, block_size) tokens.
+    """
+    cond = z[:, 0:1, :] if z.ndim == 3 else z[:, None, :]
+    steps = cfgs.encoder.block_size
+    if strategy == "beam":
+        return gpt_generate(params["decoder"], cfgs.decoder, key, cond, None,
+                            steps=steps, sample=True,
+                            top_k=top_k if top_k is not None else 100,
+                            temperature=temperature or 1.0,
+                            use_pallas=use_pallas)
+    return gpt_generate(params["decoder"], cfgs.decoder, key, cond, None,
+                        steps=steps, sample=False, use_pallas=use_pallas)
+
+
+def reconstruct(params: Params, cfgs: VAEConfigs, key: jax.Array,
+                x: jnp.ndarray, strategy: str = "greedy",
+                use_pallas=None) -> jnp.ndarray:
+    """Encode -> sample one z -> decode
+    (reference: Lit_GPT_VAE.py:157-173)."""
+    k1, k2 = jax.random.split(key)
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    z = reparameterize(k1, mu, logvar, 1)
+    return vae_decode(params, cfgs, k2, z, strategy, use_pallas=use_pallas)
+
+
+def sample_from_prior(key: jax.Array, cfgs: VAEConfigs,
+                      nsamples: int) -> jnp.ndarray:
+    """(nsamples, nz) ~ N(0, I) (reference: Lit_GPT_VAE.py:611-617)."""
+    return jax.random.normal(key, (nsamples, cfgs.nz))
+
+
+# ---------------------------------------------------------------------------
+# Losses (ELBO + free-bits variants)
+# ---------------------------------------------------------------------------
+
+
+def elbo_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
+              x: jnp.ndarray, kl_weight: float | jnp.ndarray,
+              nsamples: int = 1, *, train: bool = False,
+              use_pallas=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (loss (B,), rec (B,), kl (B,))
+    (reference ``GPT_VAE.loss``: Lit_GPT_VAE.py:176-195)."""
+    k_enc, k_dec = jax.random.split(key)
+    z, kl = encode(params, cfgs, k_enc, x, nsamples, use_pallas=use_pallas)
+    rec = jnp.mean(reconstruct_error(params, cfgs, x, z, train=train,
+                                     rng=k_dec if train else None,
+                                     use_pallas=use_pallas), axis=1)
+    return rec + kl_weight * kl, rec, kl
+
+
+def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
+                  x: jnp.ndarray, kl_weight: jnp.ndarray, *,
+                  nsamples: int = 1, train: bool = True,
+                  use_pallas=None) -> Tuple[jnp.ndarray, Dict]:
+    """Scalar training loss with the fb∈{0,1,2,3} / beta==0 branch structure
+    (reference: Lit_GPT_VAE.py:246-315).  Branches are static (config),
+    matching XLA's compile-once model.
+    """
+    vae = cfgs.vae
+    aux: Dict[str, jnp.ndarray] = {}
+
+    if vae.beta == 0:  # plain AE: kl ignored (kl_weight forced 0 upstream)
+        loss, rec, kl = elbo_loss(params, cfgs, key, x, 0.0, nsamples,
+                                  train=train, use_pallas=use_pallas)
+    elif vae.fb == 0:
+        loss, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
+                                  train=train, use_pallas=use_pallas)
+    elif vae.fb == 1:
+        _, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
+                               train=train, use_pallas=use_pallas)
+        kl_mask = (kl > vae.target_kl).astype(kl.dtype)
+        loss = rec + kl_mask * kl_weight * kl
+    elif vae.fb == 2:
+        k_enc, k_dec = jax.random.split(key)
+        mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+        z = reparameterize(k_enc, mu, logvar, nsamples)
+        kl_dim = gaussian_kl_per_dim(mu, logvar)
+        dim_target = vae.target_kl / float(cfgs.nz)
+        kl_mask = (kl_dim > dim_target).astype(kl_dim.dtype)
+        fake_kl = jnp.sum(kl_mask * kl_dim, axis=1)
+        rec = jnp.mean(reconstruct_error(params, cfgs, x, z, train=train,
+                                         rng=k_dec if train else None,
+                                         use_pallas=use_pallas), axis=1)
+        loss = rec + kl_weight * fake_kl
+        kl = jnp.sum(kl_dim, axis=1)
+        aux["fake_loss_kl"] = jnp.mean(fake_kl)
+    elif vae.fb == 3:
+        _, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
+                               train=train, use_pallas=use_pallas)
+        kl_mask = (jnp.mean(kl) > vae.target_kl).astype(kl.dtype)
+        loss = rec + kl_mask * kl_weight * kl
+    else:
+        raise ValueError(f"unknown fb mode {vae.fb}")
+
+    aux["loss_rc"] = jnp.sum(rec)
+    aux["loss_kl"] = jnp.sum(kl)
+    return jnp.mean(loss), aux
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / active units (corpus-level research metrics)
+# ---------------------------------------------------------------------------
+
+
+def log_sum_exp(value: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jax.scipy.special.logsumexp(value, axis=axis)
+
+
+def mi_from_posteriors(key: jax.Array, mu: jnp.ndarray,
+                       logvar: jnp.ndarray) -> jnp.ndarray:
+    """I(x, z) estimate from a corpus of posterior params
+    (reference calc_mi v3: Lit_GPT_VAE.py:395-482, encoders.py:136-170).
+
+    mu, logvar: (N, nz) for the whole eval corpus.
+    """
+    n, nz = mu.shape
+    neg_entropy = jnp.mean(-0.5 * nz * math.log(2 * math.pi)
+                           - 0.5 * jnp.sum(1 + logvar, axis=-1))
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    z = mu + eps * jnp.exp(0.5 * logvar)              # (N, nz), one z per x
+    # log q(z_i) = logsumexp_j log N(z_i; mu_j, var_j) - log N
+    dev = z[:, None, :] - mu[None, :, :]              # (N, N, nz)
+    var = jnp.exp(logvar)[None, :, :]
+    log_density = (-0.5 * jnp.sum(dev ** 2 / var, axis=-1)
+                   - 0.5 * (nz * math.log(2 * math.pi)
+                            + jnp.sum(logvar, -1)[None, :]))
+    log_qz = log_sum_exp(log_density, axis=1) - math.log(n)
+    return neg_entropy - jnp.mean(log_qz)
+
+
+def active_units_from_means(means: jnp.ndarray,
+                            delta: float = 0.01) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AU = #dims whose posterior-mean variance across the corpus >= delta
+    (reference calc_au: Lit_GPT_VAE.py:485-525)."""
+    mean_mean = jnp.mean(means, axis=0, keepdims=True)
+    au_var = jnp.sum((means - mean_mean) ** 2, axis=0) / (means.shape[0] - 1)
+    return jnp.sum(au_var >= delta), au_var
+
+
+def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
+                     batches, delta: float = 0.01):
+    """Stream posterior params over eval batches, then compute MI + AU.
+
+    ``batches`` yields (B, T) token arrays (host loop; each encoder forward
+    is jitted).
+    """
+    mus, logvars = [], []
+    enc = jax.jit(lambda x: encoder_forward(params, cfgs, x),
+                  static_argnums=())
+    for x in batches:
+        mu, logvar = enc(jnp.asarray(x))
+        mus.append(mu)
+        logvars.append(logvar)
+    mu = jnp.concatenate(mus, axis=0)
+    logvar = jnp.concatenate(logvars, axis=0)
+    mi = mi_from_posteriors(key, mu, logvar)
+    au, au_var = active_units_from_means(mu, delta)
+    return float(mi), int(au), au_var

@@ -1,0 +1,11 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    gpt_param_pspecs,
+    shard_gpt_params,
+    local_batch_slice,
+    process_index,
+    is_primary,
+)

@@ -1,0 +1,195 @@
+"""Core GPT tests: masking semantics, conditioning, KV-cache parity, training.
+
+Semantics pinned by /root/reference/transformer/minGPT.py: causal mask with
+n_unmasked window (:64-69), class-token conditioning (:203-212), logits
+offset for conditioned CE (:279-283), sampling loop behaviour (:293-360).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from melspec_gpt_vqvae_tpu.configs import GPTConfig
+from melspec_gpt_vqvae_tpu.models import gpt as G
+
+TINY = GPTConfig(vocab_size=17, block_size=24, n_layer=2, n_head=2, n_embd=32)
+
+
+def _params(cfg=TINY, seed=0):
+    return G.init_gpt_params(jax.random.PRNGKey(seed), cfg)
+
+
+def test_shapes_and_param_count():
+    p = _params()
+    logits, att = G.gpt_apply(p, TINY, jnp.zeros((3, 10), jnp.int32))
+    assert logits.shape == (3, 10, 17)
+    assert att is None
+    n = G.count_params(p)
+    d = TINY.n_embd
+    expected_block = (2 * d + (d * 3 * d + 3 * d) + (d * d + d) + 2 * d
+                      + (d * 4 * d + 4 * d) + (4 * d * d + d))
+    expected = (17 * d + 24 * d + TINY.n_layer * expected_block + 2 * d
+                + d * 17)
+    assert n == expected
+
+
+def test_causality():
+    p = _params()
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 17, (2, 12)))
+    logits, _ = G.gpt_apply(p, TINY, x)
+    x2 = x.at[:, 8].set((x[:, 8] + 1) % 17)
+    logits2, _ = G.gpt_apply(p, TINY, x2)
+    np.testing.assert_allclose(np.asarray(logits[:, :8]),
+                               np.asarray(logits2[:, :8]), atol=1e-5)
+    assert not np.allclose(np.asarray(logits[:, 8:]),
+                           np.asarray(logits2[:, 8:]), atol=1e-5)
+
+
+def test_unmasked_window_is_bidirectional():
+    cfg = TINY.replace(n_unmasked=TINY.block_size)
+    p = _params(cfg)
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 17, (2, 12)))
+    logits, _ = G.gpt_apply(p, cfg, x)
+    x2 = x.at[:, 11].set((x[:, 11] + 1) % 17)
+    logits2, _ = G.gpt_apply(p, cfg, x2)
+    # changing the LAST token changes the FIRST position's output
+    assert not np.allclose(np.asarray(logits[:, 0]),
+                           np.asarray(logits2[:, 0]), atol=1e-6)
+
+
+def test_last_linear_override():
+    cfg = TINY.replace(last_linear=64)
+    p = _params(cfg)
+    logits, _ = G.gpt_apply(p, cfg, jnp.zeros((1, 5), jnp.int32))
+    assert logits.shape == (1, 5, 64)
+
+
+def test_class_conditioning_prepends_token():
+    cfg = TINY.replace(class_size=8, block_size=25)
+    p = _params(cfg)
+    c = jnp.asarray([[2], [5]])
+    cond = G.class_embed(p, c)
+    assert cond.shape == (2, 1, cfg.n_embd)
+    x = jnp.zeros((2, 10), jnp.int32)
+    logits, _ = G.gpt_apply(p, cfg, x, cond)
+    assert logits.shape == (2, 11, 17)
+    # different class -> different logits everywhere
+    cond2 = G.class_embed(p, jnp.asarray([[3], [5]]))
+    logits2, _ = G.gpt_apply(p, cfg, x, cond2)
+    assert not np.allclose(np.asarray(logits[0]), np.asarray(logits2[0]))
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(logits2[1]),
+                               atol=1e-6)
+
+
+def test_return_attn_matches_plain_forward():
+    p = _params()
+    x = jnp.asarray(np.random.default_rng(2).integers(0, 17, (2, 9)))
+    l1, att = G.gpt_apply(p, TINY, x, return_attn=True, use_pallas=False)
+    l2, _ = G.gpt_apply(p, TINY, x, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    assert att.shape == (2, TINY.n_head, 9, 9)
+    # attention rows are normalised and causal
+    a = np.asarray(att)
+    np.testing.assert_allclose(a.sum(-1), np.ones_like(a.sum(-1)), atol=1e-5)
+    assert np.triu(a[0, 0], k=1).sum() < 1e-6
+
+
+def test_kv_cache_matches_full_forward():
+    """Greedy cached generation == the reference's full-recompute loop."""
+    cfg = TINY.replace(class_size=4, block_size=24)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[1], [3]]))
+    steps = 10
+
+    toks = G.gpt_generate(p, cfg, jax.random.PRNGKey(0), cond, None,
+                          steps=steps, sample=False, use_pallas=False)
+    assert toks.shape == (2, steps)
+
+    # naive loop: full forward each step, argmax (minGPT.py:331-358)
+    x = jnp.zeros((2, 0), jnp.int32)
+    for _ in range(steps):
+        logits, _ = G.gpt_apply(p, cfg, x if x.shape[1] else None, cond)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        x = jnp.concatenate([x, nxt[:, None].astype(jnp.int32)], axis=1)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(x))
+
+
+def test_kv_cache_with_prefix():
+    cfg = TINY.replace(class_size=4, block_size=24)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[0]]))
+    given = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    toks = G.gpt_generate(p, cfg, jax.random.PRNGKey(0), cond, given,
+                          steps=6, sample=False, use_pallas=False)
+    assert toks.shape == (1, 11)
+    np.testing.assert_array_equal(np.asarray(toks[:, :5]), np.asarray(given))
+
+    x = given
+    for _ in range(6):
+        logits, _ = G.gpt_apply(p, cfg, x, cond)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        x = jnp.concatenate([x, nxt[:, None].astype(jnp.int32)], axis=1)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(x))
+
+
+def test_sampled_generation_reproducible_and_topk():
+    cfg = TINY.replace(class_size=4)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[1]]))
+    a = G.gpt_generate(p, cfg, jax.random.PRNGKey(7), cond, None, steps=8,
+                       sample=True, top_k=5, temperature=0.9,
+                       use_pallas=False)
+    b = G.gpt_generate(p, cfg, jax.random.PRNGKey(7), cond, None, steps=8,
+                       sample=True, top_k=5, temperature=0.9,
+                       use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = G.gpt_generate(p, cfg, jax.random.PRNGKey(8), cond, None, steps=8,
+                       sample=True, top_k=5, use_pallas=False)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_dropout_train_vs_eval():
+    cfg = TINY.replace(embd_pdrop=0.5, resid_pdrop=0.5, attn_pdrop=0.5)
+    p = _params(cfg)
+    x = jnp.zeros((2, 6), jnp.int32)
+    l_eval, _ = G.gpt_apply(p, cfg, x)
+    l_eval2, _ = G.gpt_apply(p, cfg, x)
+    np.testing.assert_allclose(np.asarray(l_eval), np.asarray(l_eval2))
+    l_tr, _ = G.gpt_apply(p, cfg, x, train=True, rng=jax.random.PRNGKey(0),
+                          use_pallas=False)
+    l_tr2, _ = G.gpt_apply(p, cfg, x, train=True, rng=jax.random.PRNGKey(1),
+                           use_pallas=False)
+    assert not np.allclose(np.asarray(l_tr), np.asarray(l_tr2))
+
+
+@pytest.mark.slow
+def test_training_reduces_loss():
+    cfg = TINY.replace(class_size=4, block_size=24)
+    p = _params(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 17, (8, 12)), jnp.int32)
+    c = jnp.asarray(rng.integers(0, 4, (8, 1)), jnp.int32)
+
+    def loss_fn(params):
+        cond = G.class_embed(params, c)
+        logits, _ = G.gpt_apply(params, cfg, x[:, :-1], cond,
+                                use_pallas=False)
+        # cut conditioning outputs (reference: minGPT.py:279-283)
+        logits = logits[:, cond.shape[1] - 1:]
+        return G.cross_entropy_loss(logits, x)
+
+    opt = optax.adamw(3e-3)
+    state = opt.init(p)
+    l0 = float(loss_fn(p))
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    for _ in range(30):
+        p, state, l = step(p, state)
+    assert float(l) < l0 * 0.7
