@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""GPT-VAE training CLI.
+
+Entry-point parity with /root/reference/GPT_VAE_train.py:29-211 — the full
+flag surface (optimisation, IW sampling, annealing warm_up/kl_start,
+beta/fb/target_kl free bits, fix_var/freeze_epoch/save_latent, stage-2
+--load_path encoder warm start, --gpus/--num_nodes), rebuilt TPU-native:
+the Lightning DDP Trainer becomes a jitted train step over a
+jax.sharding mesh (--mesh 'data=N[,model=M]'); --gpus/--num_nodes are
+accepted for CLI compatibility but the mesh spans all visible devices.
+"""
+
+import argparse
+import os
+
+
+def init_config():
+    parser = argparse.ArgumentParser(description="GPT-VAE (TPU-native)")
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--gpus", nargs="+", type=int, default=[0],
+                        help="accepted for parity; mesh spans all devices")
+    parser.add_argument("--num_nodes", type=int, default=1)
+
+    # optimisation
+    parser.add_argument("--momentum", type=float, default=0)
+    parser.add_argument("--opt", type=str, choices=["sgd", "adam"],
+                        default="sgd")
+    parser.add_argument("--lr", type=float, default=1.0)
+    parser.add_argument("--nsamples", type=int, default=1)
+    parser.add_argument("--iw_train_nsamples", type=int, default=-1)
+    parser.add_argument("--iw_train_ns", type=int, default=1)
+    parser.add_argument("--iw_nsamples", type=int, default=500)
+
+    # mode
+    parser.add_argument("--train", type=int, default=0)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=1)
+    parser.add_argument("--eval", type=int, default=0)
+    parser.add_argument("--test", type=int, default=0)
+    parser.add_argument("--logging_frequency", type=int, default=500)
+    parser.add_argument("--load_path", type=str, default="",
+                        help="stage-2: load encoder weights from this ckpt")
+    parser.add_argument("--test_interpolation", type=int, default=0)
+
+    # decoding
+    parser.add_argument("--reconstruct_from", type=str, default="")
+    parser.add_argument("--reconstruct_to", type=str, default="decoding.txt")
+    parser.add_argument("--decoding_strategy", type=str,
+                        choices=["greedy", "beam", "sample"],
+                        default="greedy")
+    parser.add_argument("--reconstruct_spec", type=str, default="")
+    parser.add_argument("--vocoder", type=str, default="")
+
+    # annealing
+    parser.add_argument("--warm_up", type=int, default=10)
+    parser.add_argument("--kl_start", type=float, default=1.0)
+
+    parser.add_argument("--seed", type=int, default=783435)
+    parser.add_argument("--save_latent", type=int, default=0)
+    parser.add_argument("--fix_var", type=float, default=-1)
+    parser.add_argument("--freeze_epoch", type=int, default=-1)
+    parser.add_argument("--beta", type=float, default=1.0,
+                        help="0 => plain AE")
+    parser.add_argument("--fb", type=int, default=0,
+                        help="free bits mode 0/1/2/3")
+    parser.add_argument("--target_kl", type=float, default=-1)
+
+    # TPU-native additions
+    parser.add_argument("--data_root", type=str, default="./data")
+    parser.add_argument("--mesh", type=str, default="")
+    parser.add_argument("--limit_train_batches", type=int, default=0)
+    parser.add_argument("--limit_val_batches", type=int, default=0)
+    parser.add_argument("--epochs_override", type=int, default=0)
+    return parser.parse_args()
+
+
+def parse_mesh(spec: str):
+    if not spec:
+        return None
+    return {k: int(v) for k, v in (kv.split("=") for kv in spec.split(","))}
+
+
+def main(args):
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from melspec_gpt_vqvae_tpu.configs import VAEConfig, load_preset
+    from melspec_gpt_vqvae_tpu.data import DataModule
+    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+    from melspec_gpt_vqvae_tpu.training import runner
+    from melspec_gpt_vqvae_tpu.training.callbacks import (
+        FrozenDecoders, VAETextLogger, metrics_epoch_end)
+    from melspec_gpt_vqvae_tpu.training.checkpoint import (CheckpointManager,
+                                                           merge_subtree)
+    from melspec_gpt_vqvae_tpu.training.logging import TBLogger
+    from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
+
+    np.random.seed(args.seed)
+    exp = load_preset("GPT_VAE", args.dataset)
+    exp.vae = VAEConfig(
+        nz=exp.model.n_embd, nsamples=args.nsamples,
+        iw_train_nsamples=args.iw_train_nsamples,
+        iw_train_ns=args.iw_train_ns, iw_nsamples=args.iw_nsamples,
+        warm_up=args.warm_up, kl_start=args.kl_start, beta=args.beta,
+        fb=args.fb, target_kl=args.target_kl, fix_var=args.fix_var,
+        freeze_epoch=args.freeze_epoch, save_latent=args.save_latent)
+    if args.epochs_override:
+        exp.train = dataclasses.replace(exp.train,
+                                        epochs=args.epochs_override)
+    print(f"devices: {jax.devices()}")
+
+    mesh = make_mesh(parse_mesh(args.mesh))
+    dm = DataModule(batch_size=exp.train.batch_size,
+                    spec_dir_path=exp.data.spec_dir_path,
+                    data_root=args.data_root,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    dm.setup()
+    steps_per_epoch = len(dm.train_dataloader())
+    task = VAETask(exp, steps_per_epoch, mesh)
+
+    run_dir = os.path.join("lightning_logs",
+                           f"{args.experiment}-{args.dataset}")
+    log = TBLogger(run_dir)
+    ckpt = CheckpointManager(os.path.join(
+        run_dir, "checkpoints", f"version_{log.version}"))
+
+    vq_params = voc_params = voc_cfg = None
+    if args.reconstruct_spec:
+        from melspec_gpt_vqvae_tpu.utils.convert import load_vqvae_params
+        vq_params = load_vqvae_params(args.reconstruct_spec, exp.vqvae)
+    if args.vocoder:
+        from melspec_gpt_vqvae_tpu.utils.convert import load_vocoder_params
+        voc_params, voc_cfg = load_vocoder_params(args.vocoder)
+    decoders = FrozenDecoders(exp.vqvae, vq_params, voc_cfg, voc_params,
+                              code_h=exp.vqvae.code_h,
+                              code_w=exp.vqvae.code_w)
+    media_cb = VAETextLogger(task, log, decoders,
+                             sample_rate=exp.data.sample_rate)
+    epoch_cb = metrics_epoch_end(task, dm, log,
+                                 limit_batches=args.limit_val_batches or None)
+
+    # stage-2 encoder-only warm start (reference: GPT_VAE_train.py:133-144)
+    stage2 = None
+    if args.load_path and args.resume is None:
+        loaded = ckpt.load_tree(os.path.abspath(args.load_path))
+        tree = loaded.get("state", loaded).get("params", loaded)
+        stage2 = tree
+        print(f"loaded encoder from: {args.load_path}")
+
+    if args.train:
+        if stage2 is not None:
+            state = task.init_state(args.seed)
+            state["params"] = merge_subtree(state["params"], stage2,
+                                            "encoder")
+            # persist the warm start by saving as a resumable 'last'
+            ckpt.save({"state": state, "epoch": -1,
+                       "extras": {"best_loss": 1e4, "pre_mi": 0.0}}, 0)
+            args.resume = "last"
+        runner.fit_vae(task, dm, epochs=exp.train.epochs, log=log,
+                       ckpt=ckpt, seed=args.seed,
+                       logging_frequency=args.logging_frequency,
+                       media_cb=media_cb, epoch_end_cb=epoch_cb,
+                       resume=args.resume,
+                       limit_train_batches=args.limit_train_batches or None,
+                       limit_val_batches=args.limit_val_batches or None)
+    if args.eval == 1:
+        runner.evaluate_vae(task, dm, split="val", ckpt=ckpt,
+                            resume=args.resume, compute_mi_au=True,
+                            limit_batches=args.limit_val_batches or None)
+    if args.test == 1:
+        runner.evaluate_vae(
+            task, dm,
+            split="test" if "vggsound" in exp.data.spec_dir_path else "val",
+            ckpt=ckpt, resume=args.resume, compute_mi_au=True,
+            limit_batches=args.limit_val_batches or None)
+
+
+if __name__ == "__main__":
+    main(init_config())

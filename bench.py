@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""End-to-end benchmark on the real chip.
+
+Measures the BASELINE.json north-star: 10-second clips/sec/chip through the
+full pipeline — mel frontend -> VQ-VAE encode (tokenize) -> KV-cached GPT
+decode (265 tokens, class-conditional) -> VQ-VAE decode -> MelGAN vocoder
+waveform — at reference scale (VAS: 24L/16H/1024d GPT, 128-code VQ-VAE,
+ngf-32 MelGAN).  The reference's sampler re-runs a full forward per token
+with no KV cache (/root/reference/transformer/minGPT.py:331-358); the cache
++ batching is where this pipeline wins.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from melspec_gpt_vqvae_tpu.configs import MelConfig, load_preset
+    from melspec_gpt_vqvae_tpu.models.gpt import init_gpt_params, gpt_generate, class_embed
+    from melspec_gpt_vqvae_tpu.models.vocoder import MelGANGenerator
+    from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
+    from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
+    from melspec_gpt_vqvae_tpu.utils.codes import make_idx
+
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    exp = load_preset("GPT", "vas")
+    gcfg = exp.model.replace(dtype="bfloat16" if on_tpu else "float32")
+    vcfg = exp.vqvae
+    mcfg = MelConfig()
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    gpt_params = init_gpt_params(k1, gcfg)
+    vq = VQModel(vcfg)
+    vq_params = vq.init(k2, jnp.zeros((1, 80, 848, 1)))["params"]
+    melgan = MelGANGenerator(exp.vocoder)
+    voc_params = melgan.init(k3, jnp.zeros((1, 848, 80)))["params"]
+
+    fwd_idx, _ = make_idx(vcfg.code_h, vcfg.code_w)
+    fwd_idx = jnp.asarray(fwd_idx)
+
+    def tokenize(wav):
+        """wav (B, 220500) -> mel -> [-1,1] crop -> VQ codes (B, 265)."""
+        mel = waveform_to_mel(wav, mcfg)                  # (B, 80, 860)
+        mel = mel[:, :, 6:854]                            # center crop 848
+        x = (2.0 * mel - 1.0)[..., None]                  # NHWC
+        grid = vq.apply({"params": vq_params}, x,
+                        method="encode_to_indices")       # (B, 5, 53)
+        return jnp.swapaxes(grid, 1, 2).reshape(grid.shape[0], -1)
+
+    def generate(c, key):
+        cond = class_embed(gpt_params, c)
+        return gpt_generate(gpt_params, gcfg, key, cond, None, steps=265,
+                            temperature=1.0, top_k=100, sample=True)
+
+    def detokenize(tokens):
+        """(B, 265) GPT-order tokens -> spec -> waveform."""
+        grid = tokens[:, fwd_idx].reshape(-1, vcfg.code_w, vcfg.code_h)
+        grid = jnp.swapaxes(grid, 1, 2)                   # (B, 5, 53)
+        spec = vq.apply({"params": vq_params}, grid,
+                        method="decode_code")[..., 0]     # (B, 80, 848)
+        mel01 = jnp.clip((spec + 1.0) / 2.0, 0.0, 1.0)
+        return melgan.apply({"params": voc_params},
+                            jnp.swapaxes(mel01, 1, 2))    # (B, samples)
+
+    tokenize_j = jax.jit(tokenize)
+    generate_j = jax.jit(generate)
+    detokenize_j = jax.jit(detokenize)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((B, mcfg.clip_samples)) * 0.1,
+                      jnp.float32)
+    cls = jnp.asarray(rng.integers(0, gcfg.class_size, (B,)), jnp.int32)
+
+    def pipeline(key):
+        toks = tokenize_j(wav)
+        gen = generate_j(cls, key)
+        out = detokenize_j(gen)
+        return toks, gen, out
+
+    # warmup / compile
+    t0 = time.time()
+    toks, gen, out = pipeline(k4)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    iters = 3 if on_tpu else 1
+    t0 = time.time()
+    for i in range(iters):
+        toks, gen, out = pipeline(jax.random.fold_in(k4, i))
+    jax.block_until_ready(out)
+    total = (time.time() - t0) / iters
+
+    # stage timings
+    def timeit(fn, *a):
+        jax.block_until_ready(fn(*a))
+        t = time.time()
+        for i in range(iters):
+            r = fn(*a)
+        jax.block_until_ready(r)
+        return (time.time() - t) / iters
+
+    t_tok = timeit(tokenize_j, wav)
+    t_gen = timeit(generate_j, cls, k4)
+    t_dec = timeit(detokenize_j, gen)
+
+    clips_per_sec = B / total
+    tokens_per_sec = B * 265 / t_gen
+    result = {
+        "metric": "10s clips/sec/chip end-to-end (mel->VQ->GPT->vocoder)",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / 50.0, 3),
+        "gpt_tokens_per_sec": round(tokens_per_sec, 1),
+        "batch": B,
+        "platform": platform,
+        "stage_seconds": {"tokenize": round(t_tok, 4),
+                          "gpt_decode": round(t_gen, 4),
+                          "vq_decode+vocoder": round(t_dec, 4)},
+        "compile_seconds": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

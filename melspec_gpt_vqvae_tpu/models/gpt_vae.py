@@ -288,6 +288,64 @@ def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Importance-weighted NLL (the reference's calc_iwnll / nll_iw path:
+# /root/reference/utils.py:50-77 + modules/Lit_vae.py:610-668; the GPT flavor
+# exists only as commented-out code at Lit_GPT_VAE.py:620-882 — here it is a
+# live, jitted implementation)
+# ---------------------------------------------------------------------------
+
+
+def log_prior(z: jnp.ndarray) -> jnp.ndarray:
+    """log N(z; 0, I) summed over the last dim."""
+    return jnp.sum(-0.5 * (z ** 2) - 0.5 * math.log(2 * math.pi), axis=-1)
+
+
+def nll_iw(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
+           nsamples: int = 500, ns: int = 10, *,
+           use_pallas=None) -> jnp.ndarray:
+    """IW estimate of -log p(x) per item -> (B,).
+
+    -log p(x) ~= -[logsumexp_i (log p(x|z_i) + log p(z_i) - log q(z_i|x))
+                   - log nsamples],  z_i ~ q(z|x), in chunks of ``ns``.
+    """
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    chunks = max(1, nsamples // ns)
+
+    def one_chunk(k):
+        z = reparameterize(k, mu, logvar, ns)              # (B, ns, nz)
+        log_px_z = log_probability(params, cfgs, x, z)     # (B, ns)
+        log_pz = log_prior(z)                              # (B, ns)
+        log_qz = eval_inference_dist(params, cfgs, x, z,
+                                     param=(mu, logvar))   # (B, ns)
+        return log_px_z + log_pz - log_qz
+
+    keys = jax.random.split(key, chunks)
+    # lax.map keeps the compiled program one-chunk-sized (50 chunks of a
+    # 24-layer decoder would otherwise unroll into a huge jaxpr)
+    lls = jax.lax.map(one_chunk, keys)                     # (chunks, B, ns)
+    lls = jnp.moveaxis(lls, 0, 1).reshape(x.shape[0], -1)  # (B, chunks*ns)
+    return -(log_sum_exp(lls, axis=1) - math.log(lls.shape[1]))
+
+
+def calc_iwnll(params: Params, cfgs: VAEConfigs, key: jax.Array, batches,
+               nsamples: int = 500, ns: int = 10):
+    """Corpus IW-NLL + PPL over an eval loader (reference driver:
+    utils.py:50-77).  ``batches`` yields (B, T) token arrays."""
+    nll_total, words, sents = 0.0, 0, 0
+    fn = jax.jit(functools.partial(nll_iw, params, cfgs,
+                                   nsamples=nsamples, ns=ns))
+    for x in batches:
+        x = jnp.asarray(x)
+        key, k = jax.random.split(key)
+        nll_total += float(jnp.sum(fn(k, x)))
+        words += (x.shape[1] - 1) * x.shape[0]
+        sents += x.shape[0]
+    nll = nll_total / sents
+    ppl = math.exp(nll * sents / words)
+    return nll, ppl
+
+
+# ---------------------------------------------------------------------------
 # Mutual information / active units (corpus-level research metrics)
 # ---------------------------------------------------------------------------
 

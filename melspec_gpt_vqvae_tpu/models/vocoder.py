@@ -66,10 +66,10 @@ class MelGANGenerator(nn.Module):
             x = nn.ConvTranspose(ch, (2 * r,), strides=(r,), padding="VALID",
                                  transpose_kernel=True,
                                  name=f"up_{i}")(x)
+            # torch output length = full - 2*padding + output_padding
             pad = r // 2 + r % 2
             out_pad = r % 2
-            end = x.shape[1] - (2 * r - r - pad) + out_pad
-            x = x[:, pad:end, :]
+            x = x[:, pad:x.shape[1] - pad + out_pad, :]
             for j in range(cfg.n_residual_layers):
                 x = MelGANResnetBlock(ch, dilation=3 ** j,
                                       name=f"res_{i}_{j}")(x)

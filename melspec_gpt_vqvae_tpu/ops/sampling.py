@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 
 def top_k_logits(logits: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Mask all but the top-k logits to -inf (reference: minGPT.py:287-291)."""
+    """Mask all but the top-k logits to -inf (reference: minGPT.py:287-291).
+    k is clamped to the vocab size (the reference's default k=100 exceeds
+    small vocabularies)."""
+    k = min(k, logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 

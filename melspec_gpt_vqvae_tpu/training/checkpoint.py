@@ -1,0 +1,87 @@
+"""Checkpointing: best + last, resumable optimizer state, aux scalars,
+partial (stage-2) restore.
+
+Parity with the reference's Lightning ModelCheckpoint semantics
+(/root/reference/GPT_train.py:94-100, GPT_VAE_train.py:153-160: top-1 on the
+monitored loss + save_last) plus the custom scalar extras kl_weight /
+best_loss / pre_mi (/root/reference/transformer/Lit_GPT_VAE.py:959-971) and
+the three load modes: full resume, encoder-only warm start
+(GPT_VAE_train.py:133-144, non-strict), and frozen-artifact loads.
+
+Orbax handles the array IO (async-capable, TPU-host friendly); this class
+adds the best/last bookkeeping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, dirpath: str):
+        self.dirpath = os.path.abspath(dirpath)
+        os.makedirs(self.dirpath, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self._meta_path = os.path.join(self.dirpath, "meta.json")
+        self.meta = {"best_metric": None, "best_step": None, "last_step": None}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+
+    def _write_meta(self):
+        with open(self._meta_path, "w") as f:
+            json.dump(self.meta, f)
+
+    def _save_to(self, name: str, state: Dict[str, Any]):
+        path = os.path.join(self.dirpath, name)
+        self._ckptr.save(path, state, force=True)
+
+    def save(self, state: Dict[str, Any], step: int,
+             metric: Optional[float] = None):
+        """Always writes ``last``; writes ``best`` when ``metric`` improves
+        (mode=min, like the reference's monitor)."""
+        state = jax.tree_util.tree_map(np.asarray, state)
+        self._save_to("last", state)
+        self.meta["last_step"] = int(step)
+        if metric is not None:
+            best = self.meta.get("best_metric")
+            if best is None or float(metric) < float(best):
+                self._save_to("best", state)
+                self.meta["best_metric"] = float(metric)
+                self.meta["best_step"] = int(step)
+        self._write_meta()
+
+    def restore(self, which: str = "last",
+                template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """``which``: 'last', 'best', or an explicit checkpoint directory."""
+        path = which if os.path.isabs(which) or os.sep in which else \
+            os.path.join(self.dirpath, which)
+        if template is not None:
+            return self._ckptr.restore(path, item=template)
+        return self._ckptr.restore(path)
+
+    @staticmethod
+    def load_tree(path: str) -> Dict[str, Any]:
+        """Load a raw param tree (frozen-artifact mode, e.g. the VQ-VAE
+        codebook ckpt; reference raw ``load_state_dict``:
+        minGPT.py:242-243)."""
+        return ocp.PyTreeCheckpointer().restore(path)
+
+
+def merge_subtree(params: Dict[str, Any], loaded: Dict[str, Any],
+                  key: str = "encoder") -> Dict[str, Any]:
+    """Stage-2 warm start: replace ``params[key]`` with ``loaded[key]``
+    when present, leaving everything else (the reference filters
+    '"encoder" in k' keys and loads non-strict,
+    GPT_VAE_train.py:133-144)."""
+    if key not in loaded:
+        raise KeyError(f"loaded checkpoint has no {key!r} subtree")
+    out = dict(params)
+    out[key] = jax.tree_util.tree_map(lambda x: x, loaded[key])
+    return out

@@ -1,0 +1,147 @@
+"""Class-conditional GPT training system (the reference's ``Lit_minGPT``,
+/root/reference/transformer/minGPT.py:216-665, rebuilt as jitted pure
+functions over an explicit train state).
+
+  * CE loss over all 265 positions with the conditioning offset
+    (reference shared_step/forward: minGPT.py:260-285, 413-417);
+  * AdamW with the minGPT decay partition (optim.py);
+  * KV-cached sampling galleries for logging — half-prefix sample,
+    from-scratch sample, deterministic sample, reconstruction, attention
+    maps (reference log_images: minGPT.py:530-612);
+  * data-parallel by construction: the train step is jitted over a mesh
+    with the batch sharded on the ``data`` axis; XLA inserts the gradient
+    psum that DDP did with NCCL (reference: GPT_VAE_train.py:172-174).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import ExperimentConfig, GPTConfig
+from ..models.gpt import (class_embed, cross_entropy_loss, gpt_apply,
+                          gpt_attention_maps, gpt_generate, init_gpt_params)
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .optim import gpt_adamw
+
+TrainState = Dict[str, Any]
+
+
+def tokens_from_batch(codes: jnp.ndarray) -> jnp.ndarray:
+    """(B, 5, 53) code grid -> (B, 265) column-major tokens
+    (reference get_x: minGPT.py:387-394)."""
+    b = codes.shape[0]
+    return jnp.swapaxes(codes, 1, 2).reshape(b, -1).astype(jnp.int32)
+
+
+def gpt_loss_fn(params, cfg: GPTConfig, x: jnp.ndarray, c: jnp.ndarray,
+                rng: Optional[jax.Array] = None, train: bool = False,
+                use_pallas=None) -> jnp.ndarray:
+    """Conditioned next-token CE (reference: minGPT.py:260-285, 413-417).
+
+    x: (B, 265) tokens; c: (B,) or (B, 1) class index.
+    """
+    cond = class_embed(params, c)
+    logits, _ = gpt_apply(params, cfg, x[:, :-1], cond, train=train, rng=rng,
+                          use_pallas=use_pallas)
+    logits = logits[:, cond.shape[1] - 1:]   # p(x_i | x_<i, class)
+    return cross_entropy_loss(logits, x)
+
+
+class GPTTask:
+    """Owns config + mesh + jitted steps for the GPT-class model."""
+
+    def __init__(self, exp: ExperimentConfig, mesh=None, use_pallas=None):
+        self.exp = exp
+        self.cfg = exp.model
+        self.mesh = mesh or make_mesh()
+        self.use_pallas = use_pallas
+        self.optimizer = gpt_adamw(exp.train.learning_rate,
+                                   exp.train.weight_decay, exp.train.betas)
+
+        cfg, opt = self.cfg, self.optimizer
+
+        def train_step(state, x, c, rng):
+            def loss(p):
+                return gpt_loss_fn(p, cfg, x, c, rng, train=True,
+                                   use_pallas=False)
+            l, g = jax.value_and_grad(loss)(state["params"])
+            updates, opt_state = opt.update(g, state["opt_state"],
+                                            state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state,
+                    "step": state["step"] + 1}, l
+
+        def eval_step(params, x, c):
+            return gpt_loss_fn(params, cfg, x, c, use_pallas=use_pallas)
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int = 783435) -> TrainState:
+        params = init_gpt_params(jax.random.PRNGKey(seed), self.cfg)
+        params = jax.device_put(params, replicated(self.mesh))
+        return {"params": params,
+                "opt_state": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def _shard_batch(self, batch: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = tokens_from_batch(jnp.asarray(batch["codes"]))
+        c = jnp.asarray(batch["target"]).reshape(-1)
+        x = jax.device_put(x, batch_sharding(self.mesh, 2))
+        c = jax.device_put(c, batch_sharding(self.mesh, 1))
+        return x, c
+
+    def train_step(self, state: TrainState, batch: Dict,
+                   rng: jax.Array) -> Tuple[TrainState, float]:
+        x, c = self._shard_batch(batch)
+        state, loss = self._train_step(state, x, c, rng)
+        return state, loss
+
+    def eval_step(self, state: TrainState, batch: Dict) -> float:
+        x, c = self._shard_batch(batch)
+        return self._eval_step(state["params"], x, c)
+
+    # ------------------------------------------------------------------
+    # Sampling / galleries (reference log_images: minGPT.py:530-612)
+    # ------------------------------------------------------------------
+
+    def sample(self, params, key, c, steps: int, given=None,
+               temperature: float = 1.0, top_k: Optional[int] = None,
+               sample: bool = True) -> jnp.ndarray:
+        """KV-cached replacement for the reference's full-forward loop
+        (minGPT.py:293-360)."""
+        cond = class_embed(params, jnp.asarray(c).reshape(-1))
+        return gpt_generate(params, self.cfg, key, cond, given, steps=steps,
+                            temperature=temperature, top_k=top_k,
+                            sample=sample, use_pallas=self.use_pallas)
+
+    def log_samples(self, params, key, batch, temperature=1.0, top_k=100,
+                    n: int = 1) -> Dict[str, np.ndarray]:
+        """The reference's gallery: codes, half/nopix/det samples + attention
+        maps.  VQ-decoding to spectrograms is done by the caller via a
+        VQModel (separation the reference TODO'd at minGPT.py:512-513)."""
+        x = tokens_from_batch(jnp.asarray(batch["codes"]))[:n]
+        c = jnp.asarray(batch["target"]).reshape(-1)[:n]
+        keys = jax.random.split(key, 3)
+        t = x.shape[1]
+
+        half = self.sample(params, keys[0], c, steps=t - t // 2,
+                           given=x[:, :t // 2], temperature=temperature,
+                           top_k=top_k, sample=True)
+        nopix = self.sample(params, keys[1], c, steps=t,
+                            temperature=temperature, top_k=top_k,
+                            sample=True)
+        det = self.sample(params, keys[2], c, steps=t, sample=False)
+
+        cond = class_embed(params, c)
+        att = gpt_attention_maps(params, self.cfg, nopix, cond)
+        return {"codes": np.asarray(x), "codes_half": np.asarray(half),
+                "codes_nopix": np.asarray(nopix),
+                "codes_det": np.asarray(det), "att_nopix": np.asarray(att)}

@@ -1,0 +1,56 @@
+"""Optimizers: minGPT-style two-group AdamW via optax masking.
+
+The reference partitions parameters into a weight-decayed group (Linear
+weights) and a non-decayed group (biases, LayerNorm/Embedding weights, the
+position embedding), then builds AdamW with betas (0.9, 0.95) and weight
+decay 0.01 (/root/reference/transformer/minGPT.py:618-665,
+Lit_GPT_VAE.py:895-943).  Here the same partition is an ``optax.add_decayed_
+weights`` mask over the param-tree paths — one optimizer, two behaviours,
+no Python-side group bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def _path_str(path) -> str:
+    return "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
+
+
+def decay_mask(params) -> Any:
+    """True = apply weight decay.
+
+    Decayed: matmul weights — ``blocks/*/w`` (qkv, proj, mlp) and ``head/w``.
+    Not decayed: biases, layernorm scales/biases, tok/pos/class embeddings
+    (mirrors the whitelist/blacklist walk at minGPT.py:626-649).
+    """
+    def is_decay(path, x):
+        name = _path_str(path)
+        if not name.endswith("/w"):
+            return False
+        return ("blocks" in name) or name.endswith("head/w")
+
+    return jax.tree_util.tree_map_with_path(is_decay, params)
+
+
+def gpt_adamw(learning_rate: float, weight_decay: float = 0.01,
+              betas=(0.9, 0.95), grad_clip: float | None = None
+              ) -> optax.GradientTransformation:
+    """AdamW with the minGPT decay partition."""
+    txs = []
+    if grad_clip:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    txs.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
+    txs.append(optax.scale(-learning_rate))
+    return optax.chain(*txs)
+
+
+def vqvae_adam(learning_rate: float) -> optax.GradientTransformation:
+    """Adam betas (0.5, 0.9) used for both VQ-VAE optimizers
+    (reference: big_model_attn_gan.py:834-844)."""
+    return optax.adam(learning_rate, b1=0.5, b2=0.9)

@@ -1,0 +1,180 @@
+"""GPT-VAE training system (the reference's ``GPT_VAE`` LightningModule,
+/root/reference/transformer/Lit_GPT_VAE.py:23-1037, as jitted pure functions
+over an explicit train state).
+
+Distinctives reproduced:
+  * per-step KL annealing ``kl_weight = min(1, kl_weight + anneal_rate)``
+    with ``anneal_rate = (1 - kl_start) / (warm_up * steps_per_epoch)``
+    (reference :69-75, 253-256) — the weight lives **in the train state** so
+    it resumes exactly (reference stores it via on_save_checkpoint :959-964);
+  * free-bits branches fb∈{0,1,2,3} + beta==0 AE mode (:264-292);
+  * validation/test epoch aggregation: NLL = (kl + rec) / sents,
+    PPL = exp(nll * sents / words) (:363-383, 571-607);
+  * corpus mutual information + active units (:395-525);
+  * stage-2 encoder-only warm start (checkpoint.merge_subtree).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import ExperimentConfig
+from ..models import gpt_vae as V
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .gpt_task import tokens_from_batch
+from .optim import gpt_adamw
+
+TrainState = Dict[str, Any]
+
+
+class VAETask:
+    def __init__(self, exp: ExperimentConfig, steps_per_epoch: int,
+                 mesh=None, use_pallas=None):
+        self.exp = exp
+        self.cfgs = V.make_vae_configs(exp.model, exp.vae)
+        self.mesh = mesh or make_mesh()
+        self.use_pallas = use_pallas
+        self.optimizer = gpt_adamw(exp.train.learning_rate,
+                                   exp.train.weight_decay, exp.train.betas)
+        vae = exp.vae
+        # (reference: Lit_GPT_VAE.py:69-75)
+        if vae.warm_up > 0 and steps_per_epoch > 0:
+            self.anneal_rate = (1.0 - vae.kl_start) / (
+                vae.warm_up * steps_per_epoch)
+        else:
+            self.anneal_rate = 0.0
+
+        cfgs, opt, anneal = self.cfgs, self.optimizer, self.anneal_rate
+        nsamples = vae.nsamples
+
+        def train_step(state, x, rng):
+            if vae.beta == 0:
+                kl_weight = jnp.zeros(())
+            else:
+                kl_weight = jnp.minimum(1.0, state["kl_weight"] + anneal)
+
+            def loss(p):
+                return V.training_loss(p, cfgs, rng, x, kl_weight,
+                                       nsamples=nsamples, train=True,
+                                       use_pallas=False)
+            (l, aux), g = jax.value_and_grad(loss, has_aux=True)(
+                state["params"])
+            updates, opt_state = opt.update(g, state["opt_state"],
+                                            state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": params, "opt_state": opt_state,
+                         "step": state["step"] + 1, "kl_weight": kl_weight}
+            aux = dict(aux, kl_weight=kl_weight)
+            return new_state, l, aux
+
+        def eval_step(params, x, rng, kl_weight):
+            # validation uses kl weight 1.0 when beta != 0
+            # (reference: Lit_GPT_VAE.py:331-337)
+            loss, rec, kl = V.elbo_loss(params, cfgs, rng, x,
+                                        kl_weight, nsamples,
+                                        use_pallas=use_pallas)
+            return {"loss": jnp.sum(loss), "loss_rc": jnp.sum(rec),
+                    "loss_kl": jnp.sum(kl)}
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int = 783435) -> TrainState:
+        params = V.init_vae_params(jax.random.PRNGKey(seed), self.cfgs)
+        params = jax.device_put(params, replicated(self.mesh))
+        return {"params": params,
+                "opt_state": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32),
+                "kl_weight": jnp.asarray(self.exp.vae.kl_start, jnp.float32)}
+
+    def _shard(self, batch: Dict) -> jnp.ndarray:
+        x = tokens_from_batch(jnp.asarray(batch["codes"]))
+        return jax.device_put(x, batch_sharding(self.mesh, 2))
+
+    def train_step(self, state, batch, rng):
+        x = self._shard(batch)
+        state, loss, aux = self._train_step(state, x, rng)
+        b, t = x.shape
+        # reporting normalisation (reference: Lit_GPT_VAE.py:258-315)
+        report = {
+            "train/loss": (float(aux["loss_rc"]) + float(aux["loss_kl"]))
+            / b if self.exp.vae.beta != 0 else float(loss),
+            "train/loss_rc": float(aux["loss_rc"]) / b,
+            "train/loss_kl": float(aux["loss_kl"]) / b,
+            "train/kl_weight": float(aux["kl_weight"]),
+        }
+        if "fake_loss_kl" in aux:
+            report["train/fake_loss_kl"] = float(aux["fake_loss_kl"])
+        return state, loss, report
+
+    def eval_step(self, state, batch, rng) -> Dict[str, Any]:
+        x = self._shard(batch)
+        kl_w = (state["kl_weight"] if self.exp.vae.beta == 0
+                else jnp.ones(()))
+        out = self._eval_step(state["params"], x, rng, kl_w)
+        b, t = x.shape
+        out = {k: float(v) for k, v in out.items()}
+        out["num_words"] = (t - 1) * b
+        out["num_sents"] = b
+        return out
+
+    @staticmethod
+    def aggregate_epoch(outputs) -> Dict[str, float]:
+        """NLL/PPL aggregation (reference: Lit_GPT_VAE.py:363-383)."""
+        rec = sum(o["loss_rc"] for o in outputs)
+        kl = sum(o["loss_kl"] for o in outputs)
+        loss = sum(o["loss"] for o in outputs)
+        words = sum(o["num_words"] for o in outputs)
+        sents = sum(o["num_sents"] for o in outputs)
+        nll = (kl + rec) / sents
+        return {"loss": loss / sents, "nll": nll, "kl": kl / sents,
+                "rec": rec / sents,
+                "ppl": float(np.exp(nll * sents / words))}
+
+    # ------------------------------------------------------------------
+    # research metrics + media paths
+    # ------------------------------------------------------------------
+
+    def calc_mi_au(self, state, batches, key=None):
+        """Corpus MI + AU over an eval loader
+        (reference: Lit_GPT_VAE.py:395-525)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        xs = (tokens_from_batch(jnp.asarray(b["codes"])) for b in batches)
+        return V.corpus_mi_and_au(state["params"], self.cfgs, key, xs)
+
+    def reconstruct(self, state, batch, strategy="greedy", key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x = tokens_from_batch(jnp.asarray(batch["codes"]))
+        return V.reconstruct(state["params"], self.cfgs, key, x, strategy,
+                             use_pallas=self.use_pallas)
+
+    def decode(self, state, z, strategy="greedy", key=None, top_k=None,
+               temperature=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return V.vae_decode(state["params"], self.cfgs, key, z, strategy,
+                            top_k=top_k, temperature=temperature,
+                            use_pallas=self.use_pallas)
+
+    def interpolate(self, state, x_from, x_to, steps: int = 5, key=None):
+        """Latent interpolation: decode at linspace points between two
+        posteriors (reference audio_interpolation:
+        GPT_VAE_callbacks.py:324-386)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        mu_f, lv_f = V.encoder_forward(state["params"], self.cfgs, x_from,
+                                       use_pallas=self.use_pallas)
+        mu_t, lv_t = V.encoder_forward(state["params"], self.cfgs, x_to,
+                                       use_pallas=self.use_pallas)
+        z_from = V.reparameterize(k1, mu_f, lv_f, 1)
+        z_to = V.reparameterize(k2, mu_t, lv_t, 1)
+        outs = []
+        for v in np.linspace(0.0, 1.0, steps):
+            z = float(v) * z_to + (1.0 - float(v)) * z_from
+            outs.append(self.decode(state, z, "greedy", key=k3))
+        return outs

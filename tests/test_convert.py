@@ -1,0 +1,198 @@
+"""Checkpoint-conversion tests: torch layouts -> framework pytrees,
+validated numerically against torch.nn.functional (cpu torch is available;
+no reference code is involved — state dicts are built by hand)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from melspec_gpt_vqvae_tpu.utils import convert as C  # noqa: E402
+
+
+def test_conv2d_layout_matches_torch():
+    import flax.linen as nn
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((6, 3, 3, 3)).astype(np.float32)  # (O, I, kh, kw)
+    b = rng.standard_normal(6).astype(np.float32)
+    x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)  # NCHW
+
+    yt = torch.nn.functional.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                                    torch.from_numpy(b), padding=1).numpy()
+
+    conv = nn.Conv(6, (3, 3), padding=1)
+    params = {"kernel": jnp.asarray(C._conv2d(w)), "bias": jnp.asarray(b)}
+    yj = conv.apply({"params": params},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(yj), (0, 3, 1, 2)),
+                               yt, atol=1e-4)
+
+
+def test_conv_transpose1d_layout_matches_torch():
+    import flax.linen as nn
+    rng = np.random.default_rng(1)
+    r = 8
+    w = rng.standard_normal((16, 8, 2 * r)).astype(np.float32)  # (I, O, k)
+    b = rng.standard_normal(8).astype(np.float32)
+    x = rng.standard_normal((1, 16, 12)).astype(np.float32)     # (B, C, T)
+
+    yt = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=r, padding=r // 2, output_padding=0).numpy()
+
+    convt = nn.ConvTranspose(8, (2 * r,), strides=(r,), padding="VALID",
+                             transpose_kernel=True)
+    params = {"kernel": jnp.asarray(C._convT1d(w)), "bias": jnp.asarray(b)}
+    yj = convt.apply({"params": params},
+                     jnp.asarray(np.transpose(x, (0, 2, 1))))
+    pad = r // 2
+    yj = np.transpose(np.asarray(yj), (0, 2, 1))[:, :, pad:yj.shape[1] - pad]
+    np.testing.assert_allclose(yj, yt, atol=1e-4)
+
+
+def test_weight_norm_folding_matches_torch():
+    rng = np.random.default_rng(2)
+    conv = torch.nn.Conv1d(4, 6, 3)
+    conv = torch.nn.utils.weight_norm(conv)
+    sd = {f"m.{k}": v.detach().numpy() for k, v in conv.state_dict().items()}
+    folded = C._fold_weight_norm(sd, "m")
+    expected = conv.weight.detach().numpy()  # torch computes g*v/||v|| lazily
+    np.testing.assert_allclose(folded, expected, atol=1e-6)
+
+
+def test_gpt_state_dict_conversion_roundtrip():
+    """Hand-built torch-layout minGPT state_dict converts to a tree whose
+    forward matches a manual torch-semantics computation on one block."""
+    from melspec_gpt_vqvae_tpu.configs import GPTConfig
+    from melspec_gpt_vqvae_tpu.models.gpt import gpt_apply
+
+    d, L, V, T = 8, 2, 11, 6
+    rng = np.random.default_rng(3)
+
+    sd = {}
+    sd["transformer.tok_emb.weight"] = rng.standard_normal((V, d)).astype(np.float32)
+    sd["transformer.pos_emb"] = rng.standard_normal((1, T, d)).astype(np.float32)
+    for i in range(L):
+        pre = f"transformer.blocks.{i}"
+        for nm in ("ln1", "ln2"):
+            sd[f"{pre}.{nm}.weight"] = rng.standard_normal(d).astype(np.float32) * 0.1 + 1
+            sd[f"{pre}.{nm}.bias"] = rng.standard_normal(d).astype(np.float32) * 0.1
+        for nm in ("query", "key", "value", "proj"):
+            sd[f"{pre}.attn.{nm}.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.1
+            sd[f"{pre}.attn.{nm}.bias"] = rng.standard_normal(d).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.0.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.0.bias"] = rng.standard_normal(4 * d).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.2.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.2.bias"] = rng.standard_normal(d).astype(np.float32) * 0.1
+    sd["transformer.ln_f.weight"] = np.ones(d, np.float32)
+    sd["transformer.ln_f.bias"] = np.zeros(d, np.float32)
+    sd["transformer.head.weight"] = rng.standard_normal((V, d)).astype(np.float32) * 0.1
+    sd["transformer.embedder.weight"] = rng.standard_normal((3, d)).astype(np.float32)
+
+    params = C.convert_gpt_state_dict(sd, n_layer=L)
+    assert params["blocks"]["attn_qkv"]["w"].shape == (L, d, 3 * d)
+    assert "class_emb" in params
+
+    cfg = GPTConfig(vocab_size=V, block_size=T, n_layer=L, n_head=2,
+                    n_embd=d, class_size=3)
+    x = jnp.asarray(rng.integers(0, V, (2, 4)))
+    logits, _ = gpt_apply(jax.tree_util.tree_map(jnp.asarray, params),
+                          cfg, x, use_pallas=False)
+    assert logits.shape == (2, 4, V)
+
+    # q/k/v ordering: manual single-position check on layer 0
+    h = np.asarray(jnp.take(jnp.asarray(params["tok_emb"]), x, axis=0))[0, 0]
+    hp = h + sd["transformer.pos_emb"][0, 0]
+    ln = (hp - hp.mean()) / np.sqrt(hp.var() + 1e-5)
+    ln = ln * sd["transformer.blocks.0.ln1.weight"] + sd["transformer.blocks.0.ln1.bias"]
+    q_torch = ln @ sd["transformer.blocks.0.attn.query.weight"].T + \
+        sd["transformer.blocks.0.attn.query.bias"]
+    qkv = ln @ np.asarray(params["blocks"]["attn_qkv"]["w"][0]) + \
+        np.asarray(params["blocks"]["attn_qkv"]["b"][0])
+    np.testing.assert_allclose(qkv[:d], q_torch, atol=1e-5)
+
+
+def test_vqvae_conversion_shapes():
+    """A synthetic reference-layout VQ-VAE state_dict converts into params
+    the flax VQModel accepts (tiny config)."""
+    from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
+    from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
+
+    cfg = VQVAEConfig(num_embeddings=8, embedding_dim=4, ch=32,
+                      ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16, z_channels=4)
+    model = VQModel(cfg)
+    x = jnp.zeros((1, 16, 16, 1))
+    target = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.default_rng(4)
+    sd = {}
+
+    def add_conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(o, np.float32)
+
+    def add_gn(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+    def add_res(prefix, cin, cout):
+        add_gn(f"{prefix}.norm1", cin)
+        add_conv(f"{prefix}.conv1", cout, cin, 3)
+        add_gn(f"{prefix}.norm2", cout)
+        add_conv(f"{prefix}.conv2", cout, cout, 3)
+        if cin != cout:
+            add_conv(f"{prefix}.nin_shortcut", cout, cin, 1)
+
+    def add_attn(prefix, c):
+        add_gn(f"{prefix}.norm", c)
+        for nm in ("q", "k", "v", "proj_out"):
+            add_conv(f"{prefix}.{nm}", c, c, 1)
+
+    # encoder: level 0 (res 16, ch 32), downsample, level 1 (res 8, ch 64, attn)
+    add_conv("_encoder.conv_in", 32, 1, 3)
+    add_res("_encoder.down.0.block.0", 32, 32)
+    add_conv("_encoder.down.0.downsample.conv", 32, 32, 3)
+    add_res("_encoder.down.1.block.0", 32, 64)
+    add_attn("_encoder.down.1.attn.0", 64)
+    add_res("_encoder.mid.block_1", 64, 64)
+    add_attn("_encoder.mid.attn_1", 64)
+    add_res("_encoder.mid.block_2", 64, 64)
+    add_gn("_encoder.norm_out", 64)
+    add_conv("_encoder.conv_out", 4, 64, 3)
+
+    add_conv("_decoder.conv_in", 64, 4, 3)
+    add_res("_decoder.mid.block_1", 64, 64)
+    add_attn("_decoder.mid.attn_1", 64)
+    add_res("_decoder.mid.block_2", 64, 64)
+    # decoder level 1 first (res 8, attn), upsample, then level 0
+    add_res("_decoder.up.1.block.0", 64, 64)
+    add_attn("_decoder.up.1.attn.0", 64)
+    add_res("_decoder.up.1.block.1", 64, 64)
+    add_attn("_decoder.up.1.attn.1", 64)
+    add_conv("_decoder.up.1.upsample.conv", 64, 64, 3)
+    add_res("_decoder.up.0.block.0", 64, 32)
+    add_res("_decoder.up.0.block.1", 32, 32)
+    add_gn("_decoder.norm_out", 32)
+    add_conv("_decoder.conv_out", 1, 32, 3)
+
+    sd["_vq_vae._embedding.weight"] = rng.standard_normal((8, 4)).astype(np.float32)
+    sd["quant_conv.weight"] = rng.standard_normal((4, 4, 1, 1)).astype(np.float32)
+    sd["quant_conv.bias"] = np.zeros(4, np.float32)
+    sd["post_quant_conv.weight"] = rng.standard_normal((4, 4, 1, 1)).astype(np.float32)
+    sd["post_quant_conv.bias"] = np.zeros(4, np.float32)
+
+    params = C.convert_vqvae_state_dict(sd, cfg)
+
+    # converted tree has the same structure + leaf shapes as a fresh init
+    t_flat = jax.tree_util.tree_map(lambda a: a.shape, target)
+    c_flat = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert t_flat == c_flat
+
+    # and the model runs with it
+    out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                      x, method="encode_to_indices")
+    assert out.shape == (1, 8, 8)
