@@ -54,6 +54,9 @@ def main(args):
     import jax
     import numpy as np
 
+    from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from melspec_gpt_vqvae_tpu.configs import load_preset
     from melspec_gpt_vqvae_tpu.data import DataModule
     from melspec_gpt_vqvae_tpu.parallel import make_mesh

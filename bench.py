@@ -17,8 +17,23 @@ import os
 import time
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the pipeline compiles once per machine;
+    driver re-runs skip the multi-minute XLA compile."""
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_comp"))
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

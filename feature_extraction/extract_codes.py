@@ -47,6 +47,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
     from melspec_gpt_vqvae_tpu.data.transforms import center_crop
     from melspec_gpt_vqvae_tpu.models.vqvae import VQModel

@@ -52,6 +52,9 @@ def inv_transforms(x, folder_name="melspec_10s_22050hz", key=None,
     normalised mel -> waveform via NNLS + Griffin-Lim on device."""
     import jax
     import jax.numpy as jnp
+
+    from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from melspec_gpt_vqvae_tpu.configs import MelConfig
     from melspec_gpt_vqvae_tpu.ops.mel import mel_to_waveform
     if folder_name != "melspec_10s_22050hz":

@@ -228,6 +228,7 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         attn_pdrop=0.3,
         n_unmasked=0,
         last_linear=None,
+        remat=True,
     ),
     # reference: config/config_GPT_VAE_vggsound.py (GPT-XL variant, active)
     "GPT_VAE_vggsound": dict(
@@ -246,6 +247,7 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         attn_pdrop=0.0,
         n_unmasked=0,
         last_linear=None,
+        remat=True,
     ),
     # reference: config/config_vas.py (legacy LSTM VAE)
     "VAE_vas": dict(

@@ -54,10 +54,22 @@ class VASSpecs:
 
         unique_classes = sorted({cv.split("/")[0] for cv in self.dataset})
         self.label2target = {l: t for t, l in enumerate(unique_classes)}
+        self.random_crop = bool(random_crop)
+        self.crop_shape = (mel_num, spec_crop_len)
         self.transforms = Crop((mel_num, spec_crop_len), random_crop)
 
     def __len__(self):
         return len(self.dataset)
+
+    def item_paths(self, idx: int):
+        """(spec_path, codes_path, target, label) — the native fast path's
+        view of an item."""
+        cls, vid = self.dataset[idx].split("/")
+        spec_path = os.path.join(self.spec_dir_path.replace("*", cls),
+                                 f"{vid}{self.feat_suffix}")
+        codes_path = os.path.join(self.codes_dir_path.replace("*", cls),
+                                  f"{vid}{self.feat_codes_suffix}")
+        return spec_path, codes_path, self.label2target[cls], cls
 
     def __getitem__(self, idx: int) -> Dict:
         cls, vid = self.dataset[idx].split("/")
@@ -114,10 +126,21 @@ class VGGSoundSpecs:
                        for p in self.dataset]
         c2c = collections.Counter(vid_classes)
         self.class_counts = np.array([c2c[c] for c in range(len(c2c))])
+        self.random_crop = bool(random_crop)
+        self.crop_shape = (mel_num, spec_crop_len)
         self.transforms = Crop((mel_num, spec_crop_len), random_crop)
 
     def __len__(self):
         return len(self.dataset)
+
+    def item_paths(self, idx: int):
+        spec_path = self.dataset[idx]
+        video_name = Path(spec_path).stem[:11]
+        fname = os.path.basename(spec_path).replace(
+            "_mel.npy", self.feat_codes_suffix)
+        codes_path = os.path.join(self.codes_dir_path, fname)
+        target = self.video2target[video_name]
+        return spec_path, codes_path, target, self.target2label[target]
 
     def __getitem__(self, idx: int) -> Dict:
         spec_path = self.dataset[idx]

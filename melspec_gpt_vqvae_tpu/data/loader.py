@@ -38,7 +38,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 783435,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +48,7 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.use_native = use_native  # None = auto
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -65,6 +66,34 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _native_batch(self, idxs) -> Optional[Dict]:
+        """C++ fastloader path: one threaded call per batch instead of
+        len(batch) Python __getitem__s.  Falls back (returns None) for
+        random-crop datasets or when any codes file is missing."""
+        ds = self.dataset
+        if self.use_native is False or not hasattr(ds, "item_paths") or \
+                getattr(ds, "random_crop", False):
+            return None
+        from . import native
+        if not native.available():
+            return None
+        import os
+        items = [ds.item_paths(int(i)) for i in idxs]
+        if not all(os.path.isfile(c) for _, c, _, _ in items):
+            return None
+        h, w = ds.crop_shape
+        try:
+            specs = native.load_spec_batch([s for s, _, _, _ in items],
+                                           h, w, 2.0, -1.0)
+            codes = native.load_codes_batch([c for _, c, _, _ in items])
+        except (IOError, RuntimeError):
+            return None
+        return {"image": specs, "codes": codes,
+                "target": np.asarray([t for _, _, t, _ in items],
+                                     np.int32),
+                "label": [l for _, _, _, l in items],
+                "file_path_": [s for s, _, _, _ in items]}
+
     def _batches(self) -> Iterator[Dict]:
         order = self._order()
         # contiguous per-host shard of the shuffled order
@@ -75,7 +104,10 @@ class DataLoader:
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             if len(idxs) == 0:
                 return
-            yield _stack_items([self.dataset[int(i)] for i in idxs])
+            batch = self._native_batch(idxs)
+            if batch is None:
+                batch = _stack_items([self.dataset[int(i)] for i in idxs])
+            yield batch
 
     def __iter__(self) -> Iterator[Dict]:
         if self.prefetch <= 0:

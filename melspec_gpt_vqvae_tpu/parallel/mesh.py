@@ -48,9 +48,12 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = n // known
-    if int(np.prod(sizes)) != n:
-        raise ValueError(f"mesh shape {dict(zip(names, sizes))} != {n} devices")
-    return Mesh(devices.reshape(sizes), axis_names=tuple(names))
+    want = int(np.prod(sizes))
+    if want > n:
+        raise ValueError(f"mesh shape {dict(zip(names, sizes))} > {n} devices")
+    # a smaller mesh uses a device subset (the reference's --gpus semantics)
+    return Mesh(devices.reshape(-1)[:want].reshape(sizes),
+                axis_names=tuple(names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -145,3 +145,22 @@ def test_code_reader_width_scaling():
     out = code_reader(x)  # 2x width "infinite sampling" fallback
     assert out.shape == (2, 530)
     np.testing.assert_array_equal(code_reader(out, reverse=True), x)
+
+
+def test_native_fast_path_matches_python(vas_tree):
+    from melspec_gpt_vqvae_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip("fastloader unavailable")
+    ds = VASSpecs("train", str(vas_tree / "features" / "*" /
+                               "melspec_10s_22050hz"),
+                  data_root=str(vas_tree / "data"))
+    fast = DataLoader(ds, batch_size=4, shuffle=False, prefetch=0,
+                      use_native=True)
+    slow = DataLoader(ds, batch_size=4, shuffle=False, prefetch=0,
+                      use_native=False)
+    for bf, bs in zip(fast, slow):
+        np.testing.assert_allclose(bf["image"], bs["image"], atol=1e-6)
+        np.testing.assert_array_equal(bf["codes"], bs["codes"])
+        np.testing.assert_array_equal(bf["target"], bs["target"])
+        assert bf["label"] == bs["label"]

@@ -193,3 +193,23 @@ def test_training_reduces_loss():
     for _ in range(30):
         p, state, l = step(p, state)
     assert float(l) < l0 * 0.7
+
+
+def test_remat_matches_no_remat():
+    cfg_r = TINY.replace(remat=True)
+    p = _params()
+    x = jnp.asarray(np.random.default_rng(9).integers(0, 17, (2, 10)))
+    l1, _ = G.gpt_apply(p, TINY, x, use_pallas=False)
+    l2, _ = G.gpt_apply(p, cfg_r, x, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+    def loss(p, cfg):
+        lg, _ = G.gpt_apply(p, cfg, x, train=True,
+                            rng=jax.random.PRNGKey(0), use_pallas=False)
+        return jnp.sum(lg ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, TINY))(p)
+    g2 = jax.grad(lambda p: loss(p, cfg_r))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-4), g1, g2)
