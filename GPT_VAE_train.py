@@ -72,6 +72,8 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--profile", type=str, default="",
+                        help="capture a jax.profiler trace into this dir")
     return parser.parse_args()
 
 
@@ -154,7 +156,10 @@ def main(args):
         stage2 = tree
         print(f"loaded encoder from: {args.load_path}")
 
+    from melspec_gpt_vqvae_tpu.utils.profiling import trace
+
     if args.train:
+      with trace(args.profile or None):
         if stage2 is not None:
             state = task.init_state(args.seed)
             state["params"] = merge_subtree(state["params"], stage2,

@@ -38,6 +38,8 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--profile", type=str, default="",
+                        help="capture a jax.profiler trace into this dir")
     args = parser.parse_args()
     args.seed = 783435
     return args
@@ -106,7 +108,10 @@ def main(args):
     media_cb = GPTImageLogger(task, log, decoders,
                               sample_rate=exp.data.sample_rate)
 
+    from melspec_gpt_vqvae_tpu.utils.profiling import trace
+
     if args.train:
+      with trace(args.profile or None):
         runner.fit_gpt(task, dm, epochs=exp.train.epochs, log=log,
                        ckpt=ckpt, seed=args.seed,
                        logging_frequency=args.logging_frequency,
