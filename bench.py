@@ -42,6 +42,7 @@ def main():
     from melspec_gpt_vqvae_tpu.models.vocoder import MelGANGenerator
     from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
     from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
+    from melspec_gpt_vqvae_tpu.ops.mel_pallas import waveform_to_mel_pallas
     from melspec_gpt_vqvae_tpu.utils.codes import make_idx
 
     B = int(os.environ.get("BENCH_BATCH", "16"))
@@ -65,9 +66,14 @@ def main():
     fwd_idx, _ = make_idx(vcfg.code_h, vcfg.code_w)
     fwd_idx = jnp.asarray(fwd_idx)
 
+    use_pallas_mel = os.environ.get("BENCH_PALLAS_MEL", "1") == "1" and on_tpu
+
     def tokenize(wav):
         """wav (B, 220500) -> mel -> [-1,1] crop -> VQ codes (B, 265)."""
-        mel = waveform_to_mel(wav, mcfg)                  # (B, 80, 860)
+        if use_pallas_mel:
+            mel = waveform_to_mel_pallas(wav, mcfg)       # fused kernel
+        else:
+            mel = waveform_to_mel(wav, mcfg)              # (B, 80, 860)
         mel = mel[:, :, 6:854]                            # center crop 848
         x = (2.0 * mel - 1.0)[..., None]                  # NHWC
         grid = vq.apply({"params": vq_params}, x,

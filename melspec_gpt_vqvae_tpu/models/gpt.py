@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import GPTConfig
-from ..ops.attention import attend, attend_xla
+from ..ops.attention import attend
 from ..ops.sampling import sample_logits
 
 Params = Dict[str, Any]

@@ -167,6 +167,10 @@ def reconstruct_error(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
         keys = jax.random.split(rng, ns)
     else:
         keys = jnp.zeros((ns, 2), jnp.uint32)
+    if ns == 1:
+        # the common path: skip vmap entirely (batching a 24-layer remat
+        # scan through vmap multiplies compile time for nothing)
+        return one(z[:, 0, :], keys[0])[:, None]
     errs = jax.vmap(one, in_axes=(1, 0), out_axes=1)(z, keys)
     return errs  # (B, ns)
 
@@ -238,6 +242,22 @@ def elbo_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
     return rec + kl_weight * kl, rec, kl
 
 
+def loss_iw(params: Params, cfgs: VAEConfigs, key: jax.Array,
+            x: jnp.ndarray, kl_weight, nsamples: int = 50, ns: int = 10, *,
+            use_pallas=None):
+    """Importance-weighted training objective -> (loss (B,), rec (B,), kl (B,))
+    (the reference's ``loss_iw``, live in modules/Lit_vae.py:542 and
+    commented at Lit_GPT_VAE.py:622-745): loss = -IW-logp + analytic-KL
+    reweighting; here simply the differentiable IW NLL plus kl_weight*KL so
+    beta scheduling still applies."""
+    k1, k2 = jax.random.split(key)
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    kl = gaussian_kl(mu, logvar)
+    nll = nll_iw(params, cfgs, k2, x, nsamples=nsamples, ns=ns,
+                 use_pallas=use_pallas)
+    return nll + kl_weight * kl, nll, kl
+
+
 def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
                   x: jnp.ndarray, kl_weight: jnp.ndarray, *,
                   nsamples: int = 1, train: bool = True,
@@ -249,7 +269,13 @@ def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
     vae = cfgs.vae
     aux: Dict[str, jnp.ndarray] = {}
 
-    if vae.beta == 0:  # plain AE: kl ignored (kl_weight forced 0 upstream)
+    if vae.beta == 0 and vae.iw_train_nsamples > 0:
+        # beta==0 + IW flag: IW objective (reference: Lit_GPT_VAE.py:264-268)
+        loss, rec, kl = loss_iw(params, cfgs, key, x, kl_weight,
+                                nsamples=vae.iw_train_nsamples,
+                                ns=max(1, vae.iw_train_ns),
+                                use_pallas=use_pallas)
+    elif vae.beta == 0:  # plain AE: kl ignored (kl_weight forced 0 upstream)
         loss, rec, kl = elbo_loss(params, cfgs, key, x, 0.0, nsamples,
                                   train=train, use_pallas=use_pallas)
     elif vae.fb == 0:
@@ -332,12 +358,12 @@ def calc_iwnll(params: Params, cfgs: VAEConfigs, key: jax.Array, batches,
     """Corpus IW-NLL + PPL over an eval loader (reference driver:
     utils.py:50-77).  ``batches`` yields (B, T) token arrays."""
     nll_total, words, sents = 0.0, 0, 0
-    fn = jax.jit(functools.partial(nll_iw, params, cfgs,
-                                   nsamples=nsamples, ns=ns))
+    fn = jax.jit(lambda p, k, x: nll_iw(p, cfgs, k, x,
+                                        nsamples=nsamples, ns=ns))
     for x in batches:
         x = jnp.asarray(x)
         key, k = jax.random.split(key)
-        nll_total += float(jnp.sum(fn(k, x)))
+        nll_total += float(jnp.sum(fn(params, k, x)))
         words += (x.shape[1] - 1) * x.shape[0]
         sents += x.shape[0]
     nll = nll_total / sents
@@ -393,10 +419,11 @@ def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
     is jitted).
     """
     mus, logvars = [], []
-    enc = jax.jit(lambda x: encoder_forward(params, cfgs, x),
-                  static_argnums=())
+    # params passed as a traced arg (closing over them would bake 24L of
+    # weights into the jaxpr as constants)
+    enc = jax.jit(lambda p, x: encoder_forward(p, cfgs, x))
     for x in batches:
-        mu, logvar = enc(jnp.asarray(x))
+        mu, logvar = enc(params, jnp.asarray(x))
         mus.append(mu)
         logvars.append(logvar)
     mu = jnp.concatenate(mus, axis=0)

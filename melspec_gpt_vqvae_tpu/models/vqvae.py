@@ -20,7 +20,7 @@ the straight-through gradient falls out of ``stop_gradient`` algebra.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

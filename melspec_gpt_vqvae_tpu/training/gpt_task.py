@@ -15,7 +15,6 @@ functions over an explicit train state).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -67,10 +67,31 @@ class TBLogger:
 
     def audio(self, tag: str, wav: np.ndarray, step: int,
               sample_rate: int = 22050):
-        if self._writer:
-            wav = np.asarray(wav, np.float32).reshape(-1)
-            self._writer.add_audio(tag, wav[:, None], step,
-                                   sample_rate=sample_rate)
+        """tensorboardX's add_audio requires soundfile (absent in this
+        image); encode PCM16 WAV with the stdlib and emit the Summary proto
+        directly."""
+        if not self._writer:
+            return
+        import io
+        import wave
+
+        from tensorboardX.proto.summary_pb2 import Summary
+
+        data = np.asarray(wav, np.float32).reshape(-1)
+        data = np.clip(data, -1.0, 1.0)
+        pcm = (data * 32767.0).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        audio = Summary.Audio(sample_rate=sample_rate, num_channels=1,
+                              length_frames=len(pcm),
+                              encoded_audio_string=buf.getvalue(),
+                              content_type="audio/wav")
+        summary = Summary(value=[Summary.Value(tag=tag, audio=audio)])
+        self._writer._get_file_writer().add_summary(summary, step)
 
     def text(self, tag: str, text: str, step: int):
         if self._writer:

@@ -121,3 +121,17 @@ def test_mel_to_waveform_roundtrip():
     a = np.asarray(mel)[:, :170]
     b = np.asarray(mel2)[:, :170]
     assert np.abs(a - b).mean() < 0.05
+
+
+def test_pallas_mel_matches_xla_path():
+    """The fused Pallas frontend kernel (DFT-as-matmul) matches the rFFT
+    path on a short config (interpret mode on CPU)."""
+    from melspec_gpt_vqvae_tpu.ops.mel_pallas import waveform_to_mel_pallas
+    cfg = MelConfig(clip_samples=22050, trim_len=80)
+    wav = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 22050)) * 0.1,
+        jnp.float32)
+    a = np.asarray(M.waveform_to_mel(wav, cfg))[:, :, :80]
+    b = np.asarray(waveform_to_mel_pallas(wav, cfg, block_frames=64))
+    assert b.shape == (2, 80, 80)
+    np.testing.assert_allclose(a, b, atol=2e-3)
