@@ -1,0 +1,91 @@
+"""Multi-device semantics on the virtual 8-device CPU mesh: DP-sharded
+generation and TP-sharded forward must be numerically identical to
+single-device execution (the reference never tests its DDP path;
+SURVEY.md §4 calls this out as the gap to close)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from melspec_gpt_vqvae_tpu.configs import GPTConfig
+from melspec_gpt_vqvae_tpu.models import gpt as G
+from melspec_gpt_vqvae_tpu.parallel.mesh import (batch_sharding,
+                                                 gpt_param_pspecs, make_mesh,
+                                                 shard_gpt_params)
+
+CFG = GPTConfig(vocab_size=16, block_size=24, n_layer=2, n_head=4,
+                n_embd=32, class_size=4)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return G.init_gpt_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_pspec_tree_structure(params):
+    specs = gpt_param_pspecs(params)
+    from jax.sharding import PartitionSpec as P
+    assert specs["blocks"]["attn_qkv"]["w"] == P(None, None, "model")
+    assert specs["blocks"]["attn_proj"]["w"] == P(None, "model", None)
+    assert specs["blocks"]["mlp_up"]["w"] == P(None, None, "model")
+    assert specs["blocks"]["mlp_down"]["w"] == P(None, "model", None)
+    assert specs["tok_emb"] == P(None, None)
+
+
+def test_dp_sharded_generation_matches_single_device(params):
+    mesh = make_mesh({"data": 8})
+    c = jnp.asarray(np.random.default_rng(0).integers(0, 4, (8,)), jnp.int32)
+    cond = G.class_embed(params, c)
+
+    ref = G.gpt_generate(params, CFG, jax.random.PRNGKey(3), cond, None,
+                         steps=6, sample=False, use_pallas=False)
+    cond_sharded = jax.device_put(cond, batch_sharding(mesh, 3))
+    out = G.gpt_generate(params, CFG, jax.random.PRNGKey(3), cond_sharded,
+                         None, steps=6, sample=False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_tp_sharded_forward_matches_replicated(params):
+    mesh = make_mesh({"data": 2, "model": 4})
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 16, (4, 10)),
+                    jnp.int32)
+    ref, _ = G.gpt_apply(params, CFG, x, use_pallas=False)
+
+    sharded = shard_gpt_params(mesh, params)
+    out, _ = jax.jit(lambda p, x: G.gpt_apply(p, CFG, x, use_pallas=False))(
+        sharded, jax.device_put(x, batch_sharding(mesh, 2)))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_tp_sharded_train_step_runs(params):
+    """Grads + AdamW update under dp x tp shardings execute and stay finite
+    (the dryrun_multichip path, in-suite)."""
+    import optax
+
+    from melspec_gpt_vqvae_tpu.training.gpt_task import gpt_loss_fn
+    from melspec_gpt_vqvae_tpu.training.optim import gpt_adamw
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    p = shard_gpt_params(mesh, params)
+    opt = gpt_adamw(1e-3)
+    opt_state = opt.init(p)
+    rng = np.random.default_rng(2)
+    x = jax.device_put(jnp.asarray(rng.integers(0, 16, (8, 23)), jnp.int32),
+                       batch_sharding(mesh, 2))
+    c = jax.device_put(jnp.asarray(rng.integers(0, 4, (8,)), jnp.int32),
+                       batch_sharding(mesh, 1))
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda q: gpt_loss_fn(q, CFG, x, c, jax.random.PRNGKey(0),
+                                  train=True, use_pallas=False))(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    p2, opt_state, loss = step(p, opt_state)
+    assert np.isfinite(float(loss))
+    # params moved
+    assert not np.allclose(np.asarray(p2["head"]["w"]),
+                           np.asarray(params["head"]["w"]))
