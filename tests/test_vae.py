@@ -173,3 +173,34 @@ def test_sample_from_prior():
     cfgs, _ = _setup()
     z = V.sample_from_prior(jax.random.PRNGKey(0), cfgs, 7)
     assert z.shape == (7, 16)
+
+
+def test_iw_nll_tighter_than_elbo():
+    """IW bound with many samples is tighter (lower NLL) than the 1-sample
+    ELBO bound, and finite."""
+    cfgs, params = _setup()
+    x = jnp.asarray(np.random.default_rng(11).integers(0, 11, (3, 12)))
+    key = jax.random.PRNGKey(0)
+    nll_iw_est = V.nll_iw(params, cfgs, key, x, nsamples=20, ns=5,
+                          use_pallas=False)
+    assert nll_iw_est.shape == (3,)
+    assert np.isfinite(np.asarray(nll_iw_est)).all()
+    _, rec, kl = V.elbo_loss(params, cfgs, key, x, 1.0, nsamples=1,
+                             use_pallas=False)
+    elbo_bound = np.asarray(rec + kl)
+    # log-sum-exp over samples can only tighten the bound (up to MC noise)
+    assert (np.asarray(nll_iw_est) <= elbo_bound + 5.0).all()
+
+
+def test_loss_iw_training_objective():
+    cfgs, params = _setup({"beta": 0.0, "iw_train_nsamples": 10})
+    x = jnp.asarray(np.random.default_rng(12).integers(0, 11, (2, 12)))
+    l, aux = V.training_loss(params, cfgs, jax.random.PRNGKey(0), x,
+                             jnp.asarray(0.5), use_pallas=False)
+    assert np.isfinite(float(l))
+    # differentiable
+    g = jax.grad(lambda p: V.training_loss(p, cfgs, jax.random.PRNGKey(0),
+                                           x, jnp.asarray(0.5),
+                                           use_pallas=False)[0])(params)
+    gn = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
