@@ -145,7 +145,8 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             if limit_train_batches and i >= limit_train_batches:
                 break
             rng, step_rng = jax.random.split(rng)
-            state, loss, report = task.train_step(state, batch, step_rng)
+            state, loss, report = task.train_step(state, batch, step_rng,
+                                                  epoch=epoch)
             step = int(jax.device_get(state["step"]))
             if i % 50 == 0:
                 log.scalars(report, step)

@@ -52,7 +52,7 @@ class VAETask:
         cfgs, opt, anneal = self.cfgs, self.optimizer, self.anneal_rate
         nsamples = vae.nsamples
 
-        def train_step(state, x, rng):
+        def train_step(state, x, rng, freeze_encoder):
             if vae.beta == 0:
                 kl_weight = jnp.zeros(())
             else:
@@ -64,8 +64,15 @@ class VAETask:
                                        use_pallas=False)
             (l, aux), g = jax.value_and_grad(loss, has_aux=True)(
                 state["params"])
+            # --freeze_epoch: stop updating the encoder after N epochs
+            # (reference flag: GPT_VAE_train.py:82).  The *updates* are
+            # zeroed, not the grads — Adam momentum would keep moving the
+            # params otherwise.
+            enc_scale = jnp.where(freeze_encoder, 0.0, 1.0)
             updates, opt_state = opt.update(g, state["opt_state"],
                                             state["params"])
+            updates = dict(updates, encoder=jax.tree_util.tree_map(
+                lambda v: enc_scale * v, updates["encoder"]))
             params = optax.apply_updates(state["params"], updates)
             new_state = {"params": params, "opt_state": opt_state,
                          "step": state["step"] + 1, "kl_weight": kl_weight}
@@ -97,9 +104,12 @@ class VAETask:
         x = tokens_from_batch(jnp.asarray(batch["codes"]))
         return jax.device_put(x, batch_sharding(self.mesh, 2))
 
-    def train_step(self, state, batch, rng):
+    def train_step(self, state, batch, rng, epoch: int = 0):
         x = self._shard(batch)
-        state, loss, aux = self._train_step(state, x, rng)
+        freeze = (self.exp.vae.freeze_epoch >= 0
+                  and epoch >= self.exp.vae.freeze_epoch)
+        state, loss, aux = self._train_step(state, x, rng,
+                                            jnp.asarray(freeze))
         b, t = x.shape
         # reporting normalisation (reference: Lit_GPT_VAE.py:258-315)
         report = {

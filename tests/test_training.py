@@ -175,3 +175,29 @@ def test_mesh_dp_sharding_runs():
     state = task.init_state(0)
     state, loss = task.train_step(state, _batch(b=16), jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_vae_freeze_epoch():
+    """--freeze_epoch stops encoder updates while the decoder keeps moving
+    (reference flag: GPT_VAE_train.py:82)."""
+    base = TINY.replace(class_size=None, block_size=20)
+    exp = _exp(base)
+    exp.vae = VAEConfig(nz=16, freeze_epoch=1, warm_up=0)
+    task = VAETask(exp, steps_per_epoch=2, mesh=make_mesh({"data": 4}))
+    state = task.init_state(0)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+
+    enc0 = np.asarray(state["params"]["encoder"]["tok_emb"])
+    state, _, _ = task.train_step(state, batch, rng, epoch=0)
+    enc1 = np.asarray(state["params"]["encoder"]["tok_emb"])
+    assert not np.allclose(enc0, enc1)  # epoch 0: encoder trains
+
+    state, _, _ = task.train_step(state, batch, rng, epoch=1)
+    enc2 = np.asarray(state["params"]["encoder"]["tok_emb"])
+    dec1 = np.asarray(state["params"]["decoder"]["tok_emb"])
+    state, _, _ = task.train_step(state, batch, rng, epoch=2)
+    enc3 = np.asarray(state["params"]["encoder"]["tok_emb"])
+    dec2 = np.asarray(state["params"]["decoder"]["tok_emb"])
+    np.testing.assert_allclose(enc2, enc3)      # frozen
+    assert not np.allclose(dec1, dec2)          # decoder still training
