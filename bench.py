@@ -68,7 +68,7 @@ def main():
 
     use_pallas_mel = os.environ.get("BENCH_PALLAS_MEL", "1") == "1" and on_tpu
 
-    def tokenize(wav):
+    def tokenize(vqp, wav):
         """wav (B, 220500) -> mel -> [-1,1] crop -> VQ codes (B, 265)."""
         if use_pallas_mel:
             mel = waveform_to_mel_pallas(wav, mcfg)       # fused kernel
@@ -76,28 +76,33 @@ def main():
             mel = waveform_to_mel(wav, mcfg)              # (B, 80, 860)
         mel = mel[:, :, 6:854]                            # center crop 848
         x = (2.0 * mel - 1.0)[..., None]                  # NHWC
-        grid = vq.apply({"params": vq_params}, x,
+        grid = vq.apply({"params": vqp}, x,
                         method="encode_to_indices")       # (B, 5, 53)
         return jnp.swapaxes(grid, 1, 2).reshape(grid.shape[0], -1)
 
-    def generate(c, key):
-        cond = class_embed(gpt_params, c)
-        return gpt_generate(gpt_params, gcfg, key, cond, None, steps=265,
+    def generate(gp, c, key):
+        cond = class_embed(gp, c)
+        return gpt_generate(gp, gcfg, key, cond, None, steps=265,
                             temperature=1.0, top_k=100, sample=True)
 
-    def detokenize(tokens):
+    def detokenize(vqp, vocp, tokens):
         """(B, 265) GPT-order tokens -> spec -> waveform."""
         grid = tokens[:, fwd_idx].reshape(-1, vcfg.code_w, vcfg.code_h)
         grid = jnp.swapaxes(grid, 1, 2)                   # (B, 5, 53)
-        spec = vq.apply({"params": vq_params}, grid,
+        spec = vq.apply({"params": vqp}, grid,
                         method="decode_code")[..., 0]     # (B, 80, 848)
         mel01 = jnp.clip((spec + 1.0) / 2.0, 0.0, 1.0)
-        return melgan.apply({"params": voc_params},
+        return melgan.apply({"params": vocp},
                             jnp.swapaxes(mel01, 1, 2))    # (B, samples)
 
-    tokenize_j = jax.jit(tokenize)
-    generate_j = jax.jit(generate)
-    detokenize_j = jax.jit(detokenize)
+    # params are explicit jit args — closing over them would bake hundreds
+    # of MB of weights into the programs as constants (catastrophic compiles)
+    _tok = jax.jit(tokenize)
+    _gen = jax.jit(generate)
+    _det = jax.jit(detokenize)
+    tokenize_j = lambda wav: _tok(vq_params, wav)
+    generate_j = lambda c, key: _gen(gpt_params, c, key)
+    detokenize_j = lambda toks: _det(vq_params, voc_params, toks)
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((B, mcfg.clip_samples)) * 0.1,
