@@ -41,16 +41,24 @@ class FrozenDecoders:
         self.code_h, self.code_w = code_h, code_w
         self.vq = None
         self.vocoder = None
+        # params are jit ARGS, not closures — closing over them would bake
+        # the frozen weights into the program as constants
         if vq_params is not None:
             model = VQModel(vq_cfg)
-            self._vq_apply = jax.jit(
-                lambda codes: model.apply({"params": vq_params}, codes,
-                                          method="decode_code"))
+            self._vq_params = vq_params
+            self._vq_jit = jax.jit(
+                lambda p, codes: model.apply({"params": p}, codes,
+                                             method="decode_code"))
+            self._vq_apply = lambda codes: self._vq_jit(self._vq_params,
+                                                        codes)
             self.vq = True
         if vocoder_params is not None:
             gen = MelGANGenerator(vocoder_cfg)
-            self._voc_apply = jax.jit(
-                lambda mel_tc: gen.apply({"params": vocoder_params}, mel_tc))
+            self._voc_params = vocoder_params
+            self._voc_jit = jax.jit(
+                lambda p, mel_tc: gen.apply({"params": p}, mel_tc))
+            self._voc_apply = lambda mel_tc: self._voc_jit(self._voc_params,
+                                                           mel_tc)
             self.vocoder = True
 
     def codes_to_spec(self, seq: np.ndarray) -> Optional[np.ndarray]:
