@@ -285,9 +285,12 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
                     token: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
     """One cached decode step.  token: (B,) int -> (logits (B, out), cache).
 
-    Single-token attention against the cache is a pair of batched matmuls —
-    memory-bound on cache + weights, which is the speed-of-light regime for
-    AR decode on TPU.
+    The stacked (L, B, T, H, hd) caches thread through a ``fori_loop``
+    carry and each layer writes only its (1, B, 1, H, hd) slot with
+    ``dynamic_update_slice`` — XLA updates carry buffers in place, where a
+    scan-over-layers with the cache in xs/ys rewrote the full cache every
+    step.  What remains is the speed-of-light regime for AR decode:
+    weight reads + one cache-slice read per layer.
     """
     pos = cache["len"]
     x = jnp.take(params["tok_emb"], token, axis=0)        # (B, D)
@@ -295,21 +298,27 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
                                          keepdims=False)
     max_len = cache["k"].shape[2]
     valid = (jnp.arange(max_len) <= pos)[None, None, :]   # (1, 1, T)
+    b = x.shape[0]
+    blocks = params["blocks"]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
 
-    def body(x, xs):
-        p, k_l, v_l = xs                                  # k_l: (B, T, H, hd)
+    def body(l, carry):
+        x, k_cache, v_cache = carry
+        p = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            blocks)
         h = _layer_norm(x, p["ln1_s"], p["ln1_b"])
         qkv = h @ p["attn_qkv"]["w"] + p["attn_qkv"]["b"]  # (B, 3D)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        b = x.shape[0]
         qh = q.reshape(b, cfg.n_head, cfg.head_dim)
-        kh = k.reshape(b, 1, cfg.n_head, cfg.head_dim)
-        vh = v.reshape(b, 1, cfg.n_head, cfg.head_dim)
-        k_l = jax.lax.dynamic_update_slice(k_l, kh.astype(k_l.dtype),
-                                           (0, pos, 0, 0))
-        v_l = jax.lax.dynamic_update_slice(v_l, vh.astype(v_l.dtype),
-                                           (0, pos, 0, 0))
-        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
+        kh = k.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
+        vh = v.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kh.astype(k_cache.dtype), (l, 0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vh.astype(v_cache.dtype), (l, 0, pos, 0, 0))
+        k_l = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
         scores = jnp.einsum("bhd,bthd->bht", qh, k_l,
                             preferred_element_type=jnp.float32) * scale
         scores = jnp.where(valid, scores, -1e30)
@@ -323,10 +332,10 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
                         approximate=False) @ p["mlp_down"]["w"] \
             + p["mlp_down"]["b"]
-        return x + m, (k_l, v_l)
+        return x + m, k_cache, v_cache
 
-    x, (ks, vs) = jax.lax.scan(body, x,
-                               (params["blocks"], cache["k"], cache["v"]))
+    x, ks, vs = jax.lax.fori_loop(0, cfg.n_layer, body,
+                                  (x, cache["k"], cache["v"]))
     cache = {"k": ks, "v": vs, "len": pos + 1}
     x = _layer_norm(x, params["ln_f_s"], params["ln_f_b"])
     return x @ params["head"]["w"], cache
