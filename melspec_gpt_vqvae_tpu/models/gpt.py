@@ -302,11 +302,9 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     blocks = params["blocks"]
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
 
-    def body(l, carry):
+    def body(carry, xs):
         x, k_cache, v_cache = carry
-        p = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-            blocks)
+        p, l = xs          # weights streamed by scan; cache stays in carry
         h = _layer_norm(x, p["ln1_s"], p["ln1_b"])
         qkv = h @ p["attn_qkv"]["w"] + p["attn_qkv"]["b"]  # (B, 3D)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -332,10 +330,11 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
                         approximate=False) @ p["mlp_down"]["w"] \
             + p["mlp_down"]["b"]
-        return x + m, k_cache, v_cache
+        return (x + m, k_cache, v_cache), None
 
-    x, ks, vs = jax.lax.fori_loop(0, cfg.n_layer, body,
-                                  (x, cache["k"], cache["v"]))
+    (x, ks, vs), _ = jax.lax.scan(
+        body, (x, cache["k"], cache["v"]),
+        (blocks, jnp.arange(cfg.n_layer)))
     cache = {"k": ks, "v": vs, "len": pos + 1}
     x = _layer_norm(x, params["ln_f_s"], params["ln_f_b"])
     return x @ params["head"]["w"], cache
