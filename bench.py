@@ -45,7 +45,7 @@ def main():
     from melspec_gpt_vqvae_tpu.ops.mel_pallas import waveform_to_mel_pallas
     from melspec_gpt_vqvae_tpu.utils.codes import make_idx
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
 
