@@ -50,7 +50,9 @@ def main():
     on_tpu = platform not in ("cpu",)
 
     exp = load_preset("GPT", "vas")
-    gcfg = exp.model.replace(dtype="bfloat16" if on_tpu else "float32")
+    int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1" and on_tpu
+    gcfg = exp.model.replace(dtype="bfloat16" if on_tpu else "float32",
+                             cache_dtype="int8" if int8_kv else "auto")
     vcfg = exp.vqvae
     mcfg = MelConfig()
 
@@ -151,6 +153,7 @@ def main():
         "gpt_tokens_per_sec": round(tokens_per_sec, 1),
         "batch": B,
         "platform": platform,
+        "kv_cache": gcfg.cache_dtype,
         "stage_seconds": {"tokenize": round(t_tok, 4),
                           "gpt_decode": round(t_gen, 4),
                           "vq_decode+vocoder": round(t_dec, 4)},

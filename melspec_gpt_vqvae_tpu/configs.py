@@ -43,6 +43,9 @@ class GPTConfig:
     compute_dtype: str = "bfloat16"  # activation/matmul dtype on TPU
     remat: bool = False            # jax.checkpoint each block
     use_pallas_attention: bool = True
+    cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
+                                  # (absmax per (layer,pos,head); halves the
+                                  # cache traffic that dominates AR decode)
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:

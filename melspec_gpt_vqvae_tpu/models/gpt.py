@@ -231,10 +231,29 @@ def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def init_kv_cache(cfg: GPTConfig, batch: int, max_len: Optional[int] = None,
                   dtype=None) -> Dict[str, jnp.ndarray]:
     max_len = max_len or cfg.block_size
-    dtype = dtype or cfg.dtype
     shape = (cfg.n_layer, batch, max_len, cfg.n_head, cfg.head_dim)
+    if cfg.cache_dtype == "int8":
+        # absmax-quantised cache: int8 values + f32 scale per
+        # (layer, batch, position, head) — halves the cache reads that
+        # dominate AR decode on TPU
+        sshape = (cfg.n_layer, batch, max_len, cfg.n_head)
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32),
+                "len": jnp.zeros((), jnp.int32)}
+    dtype = dtype or cfg.dtype
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
             "len": jnp.zeros((), jnp.int32)}
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """(..., hd) -> (int8 values, f32 absmax-scale over hd)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
@@ -271,10 +290,22 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
 
     x, (ks, vs) = jax.lax.scan(body, x, params["blocks"])
     cache = dict(cache)
-    cache["k"] = jax.lax.dynamic_update_slice(
-        cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
-    cache["v"] = jax.lax.dynamic_update_slice(
-        cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0))
+    if cfg.cache_dtype == "int8":
+        kq, ks_s = _quantize_kv(ks)
+        vq, vs_s = _quantize_kv(vs)
+        cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq,
+                                                  (0, 0, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,
+                                                  (0, 0, 0, 0, 0))
+        cache["k_scale"] = jax.lax.dynamic_update_slice(
+            cache["k_scale"], ks_s, (0, 0, 0, 0))
+        cache["v_scale"] = jax.lax.dynamic_update_slice(
+            cache["v_scale"], vs_s, (0, 0, 0, 0))
+    else:
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0))
     cache["len"] = jnp.asarray(t0, jnp.int32)
 
     x = _layer_norm(x[:, -1], params["ln_f_s"], params["ln_f_b"])
@@ -302,8 +333,13 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     blocks = params["blocks"]
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
 
+    int8_cache = cfg.cache_dtype == "int8"
+
     def body(carry, xs):
-        x, k_cache, v_cache = carry
+        if int8_cache:
+            x, k_cache, v_cache, k_sc, v_sc = carry
+        else:
+            x, k_cache, v_cache = carry
         p, l = xs          # weights streamed by scan; cache stays in carry
         h = _layer_norm(x, p["ln1_s"], p["ln1_b"])
         qkv = h @ p["attn_qkv"]["w"] + p["attn_qkv"]["b"]  # (B, 3D)
@@ -311,18 +347,46 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         qh = q.reshape(b, cfg.n_head, cfg.head_dim)
         kh = k.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
         vh = v.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kh.astype(k_cache.dtype), (l, 0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, vh.astype(v_cache.dtype), (l, 0, pos, 0, 0))
+        if int8_cache:
+            kq, ks_s = _quantize_kv(kh)
+            vq, vs_s = _quantize_kv(vh)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, kq,
+                                                   (l, 0, pos, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, vq,
+                                                   (l, 0, pos, 0, 0))
+            k_sc = jax.lax.dynamic_update_slice(k_sc, ks_s, (l, 0, pos, 0))
+            v_sc = jax.lax.dynamic_update_slice(v_sc, vs_s, (l, 0, pos, 0))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kh.astype(k_cache.dtype), (l, 0, pos, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vh.astype(v_cache.dtype), (l, 0, pos, 0, 0))
         k_l = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
         v_l = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
-        scores = jnp.einsum("bhd,bthd->bht", qh, k_l,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(valid, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("bht,bthd->bhd", probs.astype(v_l.dtype), v_l,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if int8_cache:
+            # scales are per (b, t, h): fold k's into the scores and v's
+            # into the probabilities — the int8 arrays are what stream
+            # from HBM; the dequant fuses on-chip
+            k_s = jax.lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
+            v_s = jax.lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
+            scores = jnp.einsum("bhd,bthd->bht", qh.astype(jnp.float32),
+                                k_l.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+            scores = scores * jnp.swapaxes(k_s, 1, 2) * scale
+            scores = jnp.where(valid, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("bht,bthd->bhd",
+                           probs * jnp.swapaxes(v_s, 1, 2),
+                           v_l.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            o = o.astype(x.dtype)
+        else:
+            scores = jnp.einsum("bhd,bthd->bht", qh, k_l,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(valid, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("bht,bthd->bhd", probs.astype(v_l.dtype), v_l,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         y = o.reshape(b, cfg.n_embd) @ p["attn_proj"]["w"] \
             + p["attn_proj"]["b"]
         x = x + y
@@ -330,12 +394,22 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
                         approximate=False) @ p["mlp_down"]["w"] \
             + p["mlp_down"]["b"]
+        if int8_cache:
+            return (x + m, k_cache, v_cache, k_sc, v_sc), None
         return (x + m, k_cache, v_cache), None
 
-    (x, ks, vs), _ = jax.lax.scan(
-        body, (x, cache["k"], cache["v"]),
-        (blocks, jnp.arange(cfg.n_layer)))
-    cache = {"k": ks, "v": vs, "len": pos + 1}
+    if int8_cache:
+        (x, ks, vs, kss, vss), _ = jax.lax.scan(
+            body, (x, cache["k"], cache["v"], cache["k_scale"],
+                   cache["v_scale"]),
+            (blocks, jnp.arange(cfg.n_layer)))
+        cache = {"k": ks, "v": vs, "k_scale": kss, "v_scale": vss,
+                 "len": pos + 1}
+    else:
+        (x, ks, vs), _ = jax.lax.scan(
+            body, (x, cache["k"], cache["v"]),
+            (blocks, jnp.arange(cfg.n_layer)))
+        cache = {"k": ks, "v": vs, "len": pos + 1}
     x = _layer_norm(x, params["ln_f_s"], params["ln_f_b"])
     return x @ params["head"]["w"], cache
 

@@ -213,3 +213,29 @@ def test_remat_matches_no_remat():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-4), g1, g2)
+
+
+def test_int8_kv_cache_generation_close_to_fp():
+    """int8 KV cache: generation runs, greedy tokens mostly agree with the
+    fp cache, and the quantiser round-trips within absmax/127 error."""
+    from melspec_gpt_vqvae_tpu.models.gpt import _quantize_kv
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4, 16)),
+                    jnp.float32)
+    q, s = _quantize_kv(x)
+    back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(back - np.asarray(x))
+    bound = np.asarray(jnp.max(jnp.abs(x), -1) / 127.0)[..., None]
+    assert (err <= bound * 0.51 + 1e-6).all()
+
+    cfg = TINY.replace(class_size=4, cache_dtype="int8")
+    cfg_fp = TINY.replace(class_size=4)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[1], [3]]))
+    t_int8 = G.gpt_generate(p, cfg, jax.random.PRNGKey(0), cond, None,
+                            steps=10, sample=False, use_pallas=False)
+    t_fp = G.gpt_generate(p, cfg_fp, jax.random.PRNGKey(0), cond, None,
+                          steps=10, sample=False, use_pallas=False)
+    assert t_int8.shape == (2, 10)
+    agree = float((np.asarray(t_int8) == np.asarray(t_fp)).mean())
+    assert agree >= 0.8, agree
