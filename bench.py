@@ -64,6 +64,13 @@ def main():
     vq_params = vq.init(k2, jnp.zeros((1, 80, 848, 1)))["params"]
     melgan = MelGANGenerator(exp.vocoder)
     voc_params = melgan.init(k3, jnp.zeros((1, 848, 80)))["params"]
+    if on_tpu:
+        # conv stacks in bf16 (flax computes in the promoted param/input
+        # dtype); the VQ argmin stays f32-HIGHEST inside ops/vq
+        to_bf16 = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), t)
+        vq_params = to_bf16(vq_params)
+        voc_params = to_bf16(voc_params)
 
     fwd_idx, _ = make_idx(vcfg.code_h, vcfg.code_w)
     fwd_idx = jnp.asarray(fwd_idx)
@@ -78,14 +85,19 @@ def main():
             mel = waveform_to_mel(wav, mcfg)              # (B, 80, 860)
         mel = mel[:, :, 6:854]                            # center crop 848
         x = (2.0 * mel - 1.0)[..., None]                  # NHWC
+        if on_tpu:
+            x = x.astype(jnp.bfloat16)
         grid = vq.apply({"params": vqp}, x,
                         method="encode_to_indices")       # (B, 5, 53)
         return jnp.swapaxes(grid, 1, 2).reshape(grid.shape[0], -1)
 
+    segments = int(os.environ.get("BENCH_SEGMENTS", "4"))
+
     def generate(gp, c, key):
         cond = class_embed(gp, c)
         return gpt_generate(gp, gcfg, key, cond, None, steps=265,
-                            temperature=1.0, top_k=100, sample=True)
+                            temperature=1.0, top_k=100, sample=True,
+                            segments=segments)
 
     def detokenize(vqp, vocp, tokens):
         """(B, 265) GPT-order tokens -> spec -> waveform."""
@@ -93,7 +105,9 @@ def main():
         grid = jnp.swapaxes(grid, 1, 2)                   # (B, 5, 53)
         spec = vq.apply({"params": vqp}, grid,
                         method="decode_code")[..., 0]     # (B, 80, 848)
-        mel01 = jnp.clip((spec + 1.0) / 2.0, 0.0, 1.0)
+        mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+        if on_tpu:
+            mel01 = mel01.astype(jnp.bfloat16)
         return melgan.apply({"params": vocp},
                             jnp.swapaxes(mel01, 1, 2))    # (B, samples)
 

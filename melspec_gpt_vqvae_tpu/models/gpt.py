@@ -414,21 +414,41 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     return x @ params["head"]["w"], cache
 
 
+def _grow_cache(cache: Dict, new_len: int) -> Dict:
+    """Pad the cache's position axis to ``new_len`` (segmented decode)."""
+    out = dict(cache)
+    cur = cache["k"].shape[2]
+    if new_len <= cur:
+        return out
+    pad5 = ((0, 0), (0, 0), (0, new_len - cur), (0, 0), (0, 0))
+    out["k"] = jnp.pad(cache["k"], pad5)
+    out["v"] = jnp.pad(cache["v"], pad5)
+    if "k_scale" in cache:
+        pad4 = ((0, 0), (0, 0), (0, new_len - cur), (0, 0))
+        out["k_scale"] = jnp.pad(cache["k_scale"], pad4)
+        out["v_scale"] = jnp.pad(cache["v_scale"], pad4)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "steps", "temperature", "top_k", "sample",
-                     "use_pallas"))
+                     "use_pallas", "segments"))
 def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
                  cond_emb: jnp.ndarray,
                  given: Optional[jnp.ndarray] = None, *,
                  steps: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, sample: bool = True,
-                 use_pallas=None) -> jnp.ndarray:
+                 use_pallas=None, segments: int = 1) -> jnp.ndarray:
     """KV-cached autoregressive generation.
 
     Replaces the reference sampling loop of ``steps`` full forwards
     (minGPT.py:331-358, decoders.py:96-122) with one prefill + a
     ``lax.scan`` of cached single-token steps.
+
+    ``segments > 1`` grows the cache in stages so attention reads scale
+    with the valid prefix instead of the full block (the cache read is the
+    decode bandwidth floor once weights are batch-amortised).
 
     cond_emb: (B, P, D) conditioning embeddings (class token or latent z);
     given:    (B, T0) already-fixed tokens (prefix), may be None/empty.
@@ -436,8 +456,17 @@ def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
     the conditioning, minGPT.py:358-360).
     """
     b = cond_emb.shape[0]
+    p = cond_emb.shape[1]
     t0 = 0 if given is None else given.shape[1]
-    cache = init_kv_cache(cfg, b, max_len=cfg.block_size)
+    total_len = p + t0 + steps
+
+    # segment capacities (position-axis sizes), last covers everything
+    segments = max(1, min(segments, steps))
+    caps = sorted({min(total_len, max(
+        p + t0 + 1, -(-total_len * (i + 1) // segments)))
+        for i in range(segments)})
+
+    cache = init_kv_cache(cfg, b, max_len=caps[0])
     logits, cache = gpt_prefill(params, cfg, cache, given, cond_emb,
                                 use_pallas=use_pallas)
 
@@ -448,9 +477,24 @@ def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
         logits, cache = gpt_decode_step(params, cfg, cache, tok)
         return (logits, cache), tok
 
-    keys = jax.random.split(key, steps)
-    (_, _), toks = jax.lax.scan(step, (logits, cache), keys)
-    toks = toks.T  # (B, steps)
+    all_toks = []
+    done = 0
+    key_all = jax.random.split(key, steps)
+    for i, cap in enumerate(caps):
+        cache = _grow_cache(cache, cap)
+        # steps that fit before the cache is full (cap positions hold
+        # prefix + generated-so-far + this segment's tokens)
+        seg = min(steps - done, cap - (p + t0) - done)
+        if i == len(caps) - 1:
+            seg = steps - done
+        if seg <= 0:
+            continue
+        (logits, cache), toks = jax.lax.scan(
+            step, (logits, cache), key_all[done:done + seg])
+        all_toks.append(toks)
+        done += seg
+
+    toks = jnp.concatenate(all_toks, axis=0).T  # (B, steps)
     if t0 > 0:
         toks = jnp.concatenate([given, toks], axis=1)
     return toks

@@ -239,3 +239,24 @@ def test_int8_kv_cache_generation_close_to_fp():
     assert t_int8.shape == (2, 10)
     agree = float((np.asarray(t_int8) == np.asarray(t_fp)).mean())
     assert agree >= 0.8, agree
+
+
+def test_segmented_generation_matches_single_segment():
+    """Chunked-cache decode is numerically identical to the one-shot path."""
+    cfg = TINY.replace(class_size=4)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[1], [2]]))
+    one = G.gpt_generate(p, cfg, jax.random.PRNGKey(3), cond, None,
+                         steps=12, sample=True, top_k=7,
+                         use_pallas=False, segments=1)
+    four = G.gpt_generate(p, cfg, jax.random.PRNGKey(3), cond, None,
+                          steps=12, sample=True, top_k=7,
+                          use_pallas=False, segments=4)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(four))
+    # with a prefix too
+    given = jnp.asarray([[3, 1, 4], [1, 5, 9]], jnp.int32)
+    a = G.gpt_generate(p, cfg, jax.random.PRNGKey(4), cond, given,
+                       steps=8, sample=False, use_pallas=False, segments=1)
+    c = G.gpt_generate(p, cfg, jax.random.PRNGKey(4), cond, given,
+                       steps=8, sample=False, use_pallas=False, segments=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
