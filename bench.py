@@ -91,7 +91,7 @@ def main():
                         method="encode_to_indices")       # (B, 5, 53)
         return jnp.swapaxes(grid, 1, 2).reshape(grid.shape[0], -1)
 
-    segments = int(os.environ.get("BENCH_SEGMENTS", "4"))
+    segments = int(os.environ.get("BENCH_SEGMENTS", "8"))
 
     def generate(gp, c, key):
         cond = class_embed(gp, c)
