@@ -24,8 +24,12 @@ def init_config():
 
     # optimisation
     parser.add_argument("--momentum", type=float, default=0)
-    parser.add_argument("--opt", type=str, choices=["sgd", "adam"],
-                        default="sgd")
+    parser.add_argument("--opt", type=str,
+                        choices=["sgd", "adam", "adamw", "adafactor"],
+                        default="sgd",
+                        help="adafactor fits GPT-XL-scale VAEs on one chip "
+                             "(the reference's flag existed but AdamW was "
+                             "always used, Lit_GPT_VAE.py:887-943)")
     parser.add_argument("--lr", type=float, default=1.0)
     parser.add_argument("--nsamples", type=int, default=1)
     parser.add_argument("--iw_train_nsamples", type=int, default=-1)
@@ -115,6 +119,8 @@ def main(args):
     if args.epochs_override:
         exp.train = dataclasses.replace(exp.train,
                                         epochs=args.epochs_override)
+    if args.opt == "adafactor":
+        exp.train = dataclasses.replace(exp.train, optimizer="adafactor")
     print(f"devices: {jax.devices()}")
 
     mesh = make_mesh(parse_mesh(args.mesh))

@@ -183,6 +183,9 @@ class TrainConfig:
     batch_size: int = 8
     weight_decay: float = 0.01
     betas: tuple = (0.9, 0.95)
+    optimizer: str = "adamw"      # "adamw" (minGPT two-group) | "adafactor"
+                                  # (factored 2nd moment: fits GPT-XL-scale
+                                  # VAEs on a single 16GB chip)
     seed: int = 783435
     logging_frequency: int = 200
     log_dir: str = "lightning_logs"

@@ -50,6 +50,23 @@ def gpt_adamw(learning_rate: float, weight_decay: float = 0.01,
     return optax.chain(*txs)
 
 
+def gpt_adafactor(learning_rate: float) -> optax.GradientTransformation:
+    """Adafactor: factored second moment, no per-param first moment — the
+    memory-frugal option for GPT-XL-scale models on a single chip (AdamW
+    state for the 2.09B-param VGGSound VAE alone exceeds 16GB HBM)."""
+    return optax.adafactor(learning_rate)
+
+
+def make_optimizer(name: str, learning_rate: float,
+                   weight_decay: float = 0.01, betas=(0.9, 0.95)
+                   ) -> optax.GradientTransformation:
+    if name == "adafactor":
+        return gpt_adafactor(learning_rate)
+    if name == "adamw":
+        return gpt_adamw(learning_rate, weight_decay, betas)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
 def vqvae_adam(learning_rate: float) -> optax.GradientTransformation:
     """Adam betas (0.5, 0.9) used for both VQ-VAE optimizers
     (reference: big_model_attn_gan.py:834-844)."""

@@ -27,7 +27,7 @@ from ..configs import ExperimentConfig
 from ..models import gpt_vae as V
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from .gpt_task import tokens_from_batch
-from .optim import gpt_adamw
+from .optim import make_optimizer
 
 TrainState = Dict[str, Any]
 
@@ -39,8 +39,10 @@ class VAETask:
         self.cfgs = V.make_vae_configs(exp.model, exp.vae)
         self.mesh = mesh or make_mesh()
         self.use_pallas = use_pallas
-        self.optimizer = gpt_adamw(exp.train.learning_rate,
-                                   exp.train.weight_decay, exp.train.betas)
+        self.optimizer = make_optimizer(
+            getattr(exp.train, "optimizer", "adamw"),
+            exp.train.learning_rate, exp.train.weight_decay,
+            exp.train.betas)
         vae = exp.vae
         # (reference: Lit_GPT_VAE.py:69-75)
         if vae.warm_up > 0 and steps_per_epoch > 0:

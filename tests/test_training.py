@@ -201,3 +201,13 @@ def test_vae_freeze_epoch():
     dec2 = np.asarray(state["params"]["decoder"]["tok_emb"])
     np.testing.assert_allclose(enc2, enc3)      # frozen
     assert not np.allclose(dec1, dec2)          # decoder still training
+
+
+def test_adafactor_optimizer_option():
+    base = TINY.replace(class_size=None, block_size=20)
+    exp = _exp(base)
+    exp.train = dataclasses.replace(exp.train, optimizer="adafactor")
+    task = VAETask(exp, steps_per_epoch=2, mesh=make_mesh({"data": 4}))
+    state = task.init_state(0)
+    state, loss, _ = task.train_step(state, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
