@@ -76,6 +76,11 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--param_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 + --opt adafactor fits the 2.09B "
+                             "vggsound GPT-XL on a single 16GB chip "
+                             "(3.5s/step measured)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this dir")
     return parser.parse_args()
@@ -121,6 +126,8 @@ def main(args):
                                         epochs=args.epochs_override)
     if args.opt == "adafactor":
         exp.train = dataclasses.replace(exp.train, optimizer="adafactor")
+    if args.param_dtype != "float32":
+        exp.model = exp.model.replace(dtype=args.param_dtype)
     print(f"devices: {jax.devices()}")
 
     mesh = make_mesh(parse_mesh(args.mesh))
