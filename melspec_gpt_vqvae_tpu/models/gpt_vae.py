@@ -181,12 +181,13 @@ def log_probability(params, cfgs, x, z) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "strategy", "top_k",
-                                             "temperature", "use_pallas"))
+                                             "temperature", "use_pallas",
+                                             "segments"))
 def vae_decode(params: Params, cfgs: VAEConfigs, key: jax.Array,
                z: jnp.ndarray, strategy: str = "greedy",
                top_k: Optional[int] = None,
                temperature: Optional[float] = None,
-               use_pallas=None) -> jnp.ndarray:
+               use_pallas=None, segments: int = 4) -> jnp.ndarray:
     """Generate token sequences from z.
 
     Strategies mirror the reference (Lit_GPT_VAE.py:108-143): "greedy" and
@@ -201,9 +202,10 @@ def vae_decode(params: Params, cfgs: VAEConfigs, key: jax.Array,
                             steps=steps, sample=True,
                             top_k=top_k if top_k is not None else 100,
                             temperature=temperature or 1.0,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, segments=segments)
     return gpt_generate(params["decoder"], cfgs.decoder, key, cond, None,
-                        steps=steps, sample=False, use_pallas=use_pallas)
+                        steps=steps, sample=False, use_pallas=use_pallas,
+                        segments=segments)
 
 
 def reconstruct(params: Params, cfgs: VAEConfigs, key: jax.Array,
