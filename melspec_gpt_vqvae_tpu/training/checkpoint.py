@@ -59,9 +59,28 @@ class CheckpointManager:
 
     def restore(self, which: str = "last",
                 template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-        """``which``: 'last', 'best', or an explicit checkpoint directory."""
-        path = which if os.path.isabs(which) or os.sep in which else \
-            os.path.join(self.dirpath, which)
+        """``which``: 'last', 'best', or an explicit checkpoint directory.
+
+        'last'/'best' fall back to the newest earlier ``version_*`` sibling
+        when the current (fresh) version dir has no checkpoint yet — so
+        ``--resume last`` continues the previous run, like the reference's
+        ``trainer.fit(ckpt_path=...)`` given the prior run's last.ckpt.
+        """
+        if os.path.isabs(which) or os.sep in which:
+            path = which
+        else:
+            path = os.path.join(self.dirpath, which)
+            if not os.path.exists(path):
+                parent = os.path.dirname(self.dirpath)  # .../checkpoints
+                versions = sorted(
+                    (d for d in os.listdir(parent)
+                     if d.startswith("version_")),
+                    key=lambda d: int(d.split("_")[-1]), reverse=True)
+                for v in versions:
+                    cand = os.path.join(parent, v, which)
+                    if os.path.exists(cand):
+                        path = cand
+                        break
         if template is not None:
             return self._ckptr.restore(path, item=template)
         return self._ckptr.restore(path)

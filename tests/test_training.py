@@ -211,3 +211,19 @@ def test_adafactor_optimizer_option():
     state = task.init_state(0)
     state, loss, _ = task.train_step(state, _batch(), jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_checkpoint_resume_falls_back_to_previous_version(tmp_path):
+    """'--resume last' in a fresh version dir finds the previous version's
+    checkpoint (caught live: a new TBLogger version gets a new empty
+    checkpoints dir)."""
+    task = GPTTask(_exp(), make_mesh())
+    state = task.init_state(0)
+    base = tmp_path / "checkpoints"
+    old = CheckpointManager(str(base / "version_0"))
+    old.save({"state": state, "epoch": 3}, step=5, metric=1.0)
+    new = CheckpointManager(str(base / "version_1"))  # empty fresh dir
+    template = {"state": jax.tree_util.tree_map(np.asarray, state),
+                "epoch": 0}
+    restored = new.restore("last", template=template)
+    assert int(restored["epoch"]) == 3
