@@ -83,7 +83,16 @@ def _on_tpu() -> bool:
 
 def vq_nearest_index(x: jnp.ndarray, codebook: jnp.ndarray,
                      use_pallas: bool | None = None) -> jnp.ndarray:
-    """Nearest codebook index for each row of x.  (N, D) x (K, D) -> (N,)."""
+    """Nearest codebook index for each row of x.  (N, D) x (K, D) -> (N,).
+
+    Inputs are stop_gradient'ed: argmin indices carry no tangents, and the
+    Pallas kernel has no autodiff rule — without this, differentiating VQ-VAE
+    training through the quantiser fails on TPU ("Linearization failed").
+    The straight-through estimator supplies the gradient path instead
+    (models/vqvae.py).
+    """
+    x = jax.lax.stop_gradient(x)
+    codebook = jax.lax.stop_gradient(codebook)
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
