@@ -46,6 +46,9 @@ class GPTConfig:
     cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)
+    mixed_precision: bool = False  # bf16 matmuls with f32 accumulation and
+                                   # f32 residual stream (training speedup;
+                                   # params stay in `dtype`)
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:

@@ -115,11 +115,24 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
+def _mm(a, w, mixed: bool):
+    """Matmul over the last/first axes; under mixed precision the operands
+    go to the MXU as bf16 with f32 accumulation (the residual stream and
+    all reductions stay f32)."""
+    if not mixed:
+        return a @ w
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _block(x, p, cfg: GPTConfig, *, train: bool, rngs, return_attn: bool,
            use_pallas):
     """One pre-LN transformer block (reference: minGPT.py:93-119)."""
+    mixed = cfg.mixed_precision
     h = _layer_norm(x, p["ln1_s"], p["ln1_b"])
-    qkv = h @ p["attn_qkv"]["w"] + p["attn_qkv"]["b"]
+    qkv = _mm(h, p["attn_qkv"]["w"], mixed) + p["attn_qkv"]["b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (_split_heads(a, cfg.n_head) for a in (q, k, v))
     res = attend(q, k, v, cfg.n_unmasked,
@@ -129,14 +142,15 @@ def _block(x, p, cfg: GPTConfig, *, train: bool, rngs, return_attn: bool,
     att = None
     if return_attn:
         res, att = res
-    y = _merge_heads(res) @ p["attn_proj"]["w"] + p["attn_proj"]["b"]
+    y = _mm(_merge_heads(res), p["attn_proj"]["w"], mixed) \
+        + p["attn_proj"]["b"]
     y = _dropout(y, cfg.resid_pdrop, rngs[1] if train else None, train)
     x = x + y
 
     h2 = _layer_norm(x, p["ln2_s"], p["ln2_b"])
-    m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
+    m = jax.nn.gelu(_mm(h2, p["mlp_up"]["w"], mixed) + p["mlp_up"]["b"],
                     approximate=False)  # torch nn.GELU is exact erf
-    m = m @ p["mlp_down"]["w"] + p["mlp_down"]["b"]
+    m = _mm(m, p["mlp_down"]["w"], mixed) + p["mlp_down"]["b"]
     m = _dropout(m, cfg.resid_pdrop, rngs[2] if train else None, train)
     return x + m, att
 

@@ -260,3 +260,19 @@ def test_segmented_generation_matches_single_segment():
     c = G.gpt_generate(p, cfg, jax.random.PRNGKey(4), cond, given,
                        steps=8, sample=False, use_pallas=False, segments=3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_mixed_precision_close_to_f32():
+    cfg_mp = TINY.replace(mixed_precision=True)
+    p = _params()
+    x = jnp.asarray(np.random.default_rng(13).integers(0, 17, (2, 10)))
+    l32, _ = G.gpt_apply(p, TINY, x, use_pallas=False)
+    lmp, _ = G.gpt_apply(p, cfg_mp, x, use_pallas=False)
+    # bf16 matmuls with f32 accumulation: small but nonzero deviation
+    np.testing.assert_allclose(np.asarray(lmp), np.asarray(l32),
+                               atol=0.05, rtol=0.05)
+    # grads flow and are finite
+    g = jax.grad(lambda q: float(0) + jnp.sum(
+        G.gpt_apply(q, cfg_mp, x, use_pallas=False)[0] ** 2))(p)
+    gn = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
