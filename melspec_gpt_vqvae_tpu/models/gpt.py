@@ -98,6 +98,13 @@ def _layer_norm(x, scale, bias, eps: float = 1e-5):
     return (x - m) * jax.lax.rsqrt(v + eps) * scale + bias
 
 
+def _raw_key_zeros(prefix):
+    """Placeholder raw-key array matching the active PRNG impl's key width
+    (threefry: 2 words; rbg: 4) — shapes must agree even when unused."""
+    w = jax.random.split(jax.random.PRNGKey(0), 1).shape[-1]
+    return jnp.zeros(prefix + (w,), jnp.uint32)
+
+
 def _dropout(x, rate: float, rng: Optional[jax.Array], train: bool):
     if not train or rate <= 0.0 or rng is None:
         return x
@@ -192,9 +199,9 @@ def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
         rng, drop_rng = jax.random.split(rng)
         x = _dropout(x, cfg.embd_pdrop, drop_rng, train)
         layer_rngs = jax.random.split(rng, cfg.n_layer * 3).reshape(
-            cfg.n_layer, 3, 2)
+            cfg.n_layer, 3, -1)
     else:
-        layer_rngs = jnp.zeros((cfg.n_layer, 3, 2), jnp.uint32)
+        layer_rngs = _raw_key_zeros((cfg.n_layer, 3))
 
     def block_fn(x_in, p, rngs):
         return _block(x_in, p, cfg, train=train, rngs=rngs,

@@ -166,7 +166,8 @@ def reconstruct_error(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
     if rng is not None:
         keys = jax.random.split(rng, ns)
     else:
-        keys = jnp.zeros((ns, 2), jnp.uint32)
+        from .gpt import _raw_key_zeros
+        keys = _raw_key_zeros((ns,))
     if ns == 1:
         # the common path: skip vmap entirely (batching a 24-layer remat
         # scan through vmap multiplies compile time for nothing)

@@ -168,8 +168,11 @@ def lstm_reconstruct_error(p, cfg, x, z, *, train=False, rng=None):
         return jnp.sum(cross_entropy_loss(logits, tgt, reduce="none"),
                        axis=-1)
     ns = z.shape[1]
-    keys = (jax.random.split(rng, ns) if rng is not None
-            else jnp.zeros((ns, 2), jnp.uint32))
+    if rng is not None:
+        keys = jax.random.split(rng, ns)
+    else:
+        from .gpt import _raw_key_zeros
+        keys = _raw_key_zeros((ns,))
     return jax.vmap(one, in_axes=(1, 0), out_axes=1)(z, keys)
 
 
