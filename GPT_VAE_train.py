@@ -81,6 +81,10 @@ def init_config():
                         help="bfloat16 + --opt adafactor fits the 2.09B "
                              "vggsound GPT-XL on a single 16GB chip "
                              "(3.5s/step measured)")
+    parser.add_argument("--prng", type=str, default="rbg",
+                        choices=["rbg", "threefry"],
+                        help="rbg = TPU hardware RNG: 4.3x faster VAE train "
+                             "steps (threefry dropout masks dominated)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this dir")
     return parser.parse_args()
@@ -100,6 +104,8 @@ def main(args):
 
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from melspec_gpt_vqvae_tpu.configs import VAEConfig, load_preset
     from melspec_gpt_vqvae_tpu.data import DataModule

@@ -38,6 +38,10 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--prng", type=str, default="rbg",
+                        choices=["rbg", "threefry"],
+                        help="rbg = TPU hardware RNG: 4.3x faster VAE train "
+                             "steps (threefry dropout masks dominated)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this dir")
     args = parser.parse_args()
@@ -58,6 +62,8 @@ def main(args):
 
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from melspec_gpt_vqvae_tpu.configs import load_preset
     from melspec_gpt_vqvae_tpu.data import DataModule
