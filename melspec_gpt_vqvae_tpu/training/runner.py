@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import is_primary
+from ..utils.profiling import StepTimer
 from .checkpoint import CheckpointManager
 from .logging import TBLogger
 
@@ -47,6 +48,7 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
     rng = jax.random.PRNGKey(seed)
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
+    timer = StepTimer()
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
@@ -59,6 +61,9 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
             state, loss = task.train_step(state, batch, step_rng)
             losses.append(loss)
             step = int(jax.device_get(state["step"]))
+            perf = timer.tick(len(batch["target"]))
+            if perf:
+                log.scalars(perf, step)
             if i % 50 == 0:
                 log.scalar("train/loss_step", _host(loss), step)
                 log.scalar("learning_rate", task.exp.train.learning_rate,
@@ -137,6 +142,7 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
     rng = jax.random.PRNGKey(seed)
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
+    timer = StepTimer()
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
@@ -148,6 +154,9 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             state, loss, report = task.train_step(state, batch, step_rng,
                                                   epoch=epoch)
             step = int(jax.device_get(state["step"]))
+            perf = timer.tick(batch["codes"].shape[0])
+            if perf:
+                log.scalars(perf, step)
             if i % 50 == 0:
                 log.scalars(report, step)
             if media_cb and logging_frequency and \
