@@ -49,6 +49,9 @@ class GPTConfig:
     mixed_precision: bool = False  # bf16 matmuls with f32 accumulation and
                                    # f32 residual stream (training speedup;
                                    # params stay in `dtype`)
+    use_flash_train: bool = False  # fused Pallas attention with custom VJP
+                                   # in training (fwd+bwd in VMEM; dropout
+                                   # via an explicit keep-mask)
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:

@@ -142,13 +142,24 @@ def _block(x, p, cfg: GPTConfig, *, train: bool, rngs, return_attn: bool,
     qkv = _mm(h, p["attn_qkv"]["w"], mixed) + p["attn_qkv"]["b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (_split_heads(a, cfg.n_head) for a in (q, k, v))
-    res = attend(q, k, v, cfg.n_unmasked,
-                 dropout_rate=cfg.attn_pdrop if train else 0.0,
-                 dropout_rng=rngs[0] if train else None,
-                 return_attn=return_attn, use_pallas=use_pallas)
     att = None
-    if return_attn:
-        res, att = res
+    if cfg.use_flash_train and not return_attn:
+        from ..ops.flash_attention import (flash_attention,
+                                           make_dropout_mask)
+        rate = cfg.attn_pdrop if train else 0.0
+        mask = make_dropout_mask(
+            rngs[0] if train else None,
+            (q.shape[0], q.shape[1], q.shape[2], q.shape[2]), rate)
+        res = flash_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32), mask, cfg.n_unmasked,
+                              1.0 - rate).astype(x.dtype)
+    else:
+        res = attend(q, k, v, cfg.n_unmasked,
+                     dropout_rate=cfg.attn_pdrop if train else 0.0,
+                     dropout_rng=rngs[0] if train else None,
+                     return_attn=return_attn, use_pallas=use_pallas)
+        if return_attn:
+            res, att = res
     y = _mm(_merge_heads(res), p["attn_proj"]["w"], mixed) \
         + p["attn_proj"]["b"]
     y = _dropout(y, cfg.resid_pdrop, rngs[1] if train else None, train)
