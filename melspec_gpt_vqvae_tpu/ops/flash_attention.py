@@ -59,7 +59,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, drop_ref, o_ref, lse_ref, *,
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
     p = e / denom
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
+    lse_ref[0, 0] = (m + jnp.log(denom))[:, 0]
     if keep_prob < 1.0:
         p = p * drop_ref[0].astype(jnp.float32) / keep_prob
     o_ref[0] = jax.lax.dot_general(
@@ -71,7 +71,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, drop_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *,
                 scale, t_actual, n_unmasked, keep_prob):
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    lse = lse_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     tp = s.shape[0]
@@ -140,15 +140,15 @@ def _flash_fwd_impl(q, k, v, drop_mask, n_unmasked, keep_prob):
         out_specs=(
             pl.BlockSpec((1, tp, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
-                   jax.ShapeDtypeStruct((b * h, tp), jnp.float32)),
+                   jax.ShapeDtypeStruct((b * h, 1, tp), jnp.float32)),
         interpret=not _on_tpu(),
     )(qf, kf, vf, dm)
     return (o.reshape(b, h, tp, hd)[:, :, :t, :],
-            lse.reshape(b, h, tp)[:, :, :t])
+            lse.reshape(b, h, tp)[:, :, :t])  # lse comes back (b*h,1,tp)
 
 
 def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
@@ -159,7 +159,7 @@ def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
     vf = _pad_to(v, tp).reshape(b * h, tp, hd)
     dof = _pad_to(do, tp).reshape(b * h, tp, hd)
     lsef = jnp.pad(lse, ((0, 0), (0, 0), (0, tp - t)),
-                   constant_values=0.0).reshape(b * h, tp)
+                   constant_values=0.0).reshape(b * h, 1, tp)
     if drop_mask is None:
         dm = jnp.ones((b * h, tp, tp), jnp.uint8)
     else:
@@ -180,7 +180,7 @@ def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, tp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
