@@ -117,7 +117,7 @@ def _flash_fwd_impl(q, k, v, drop_mask, n_unmasked, keep_prob):
     kf = _pad_to(k, tp).reshape(b * h, tp, hd)
     vf = _pad_to(v, tp).reshape(b * h, tp, hd)
     if drop_mask is None:
-        dm = jnp.ones((b * h, tp, tp), jnp.uint8)
+        dm = jnp.ones((b * h, tp, tp), jnp.bfloat16)
     else:
         dm = jnp.pad(drop_mask, ((0, 0), (0, 0), (0, tp - t), (0, tp - t))
                      ).reshape(b * h, tp, tp)
@@ -161,7 +161,7 @@ def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
     lsef = jnp.pad(lse, ((0, 0), (0, 0), (0, tp - t)),
                    constant_values=0.0).reshape(b * h, 1, tp)
     if drop_mask is None:
-        dm = jnp.ones((b * h, tp, tp), jnp.uint8)
+        dm = jnp.ones((b * h, tp, tp), jnp.bfloat16)
     else:
         dm = jnp.pad(drop_mask, ((0, 0), (0, 0), (0, tp - t), (0, tp - t))
                      ).reshape(b * h, tp, tp)
@@ -205,7 +205,7 @@ def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, drop_mask, n_unmasked: int = 0,
                     keep_prob: float = 1.0):
-    """q, k, v: (B, H, T, hd); drop_mask: (B, H, T, T) uint8 or None.
+    """q, k, v: (B, H, T, hd); drop_mask: (B, H, T, T) bfloat16 {0,1} or None.
     Returns (B, H, T, hd)."""
     o, _ = _flash_fwd_impl(q, k, v, drop_mask, n_unmasked, keep_prob)
     return o
@@ -227,7 +227,7 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 def make_dropout_mask(rng: Optional[jax.Array], shape, rate: float):
-    """uint8 keep-mask (1 = keep); None when no dropout."""
+    """bfloat16 keep-mask (1 = keep; Mosaic cannot cast uint8 in-kernel)."""
     if rng is None or rate <= 0.0:
         return None
-    return jax.random.bernoulli(rng, 1.0 - rate, shape).astype(jnp.uint8)
+    return jax.random.bernoulli(rng, 1.0 - rate, shape).astype(jnp.bfloat16)
