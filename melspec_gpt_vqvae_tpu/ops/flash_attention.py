@@ -112,7 +112,9 @@ def _pad_to(x, tp):
 
 def _flash_fwd_impl(q, k, v, drop_mask, n_unmasked, keep_prob):
     b, h, t, hd = q.shape
-    tp = ((t + 127) // 128) * 128
+    # pad to sublane multiples only: full-array blocks are tiling-legal and
+    # 272 wastes far less T x T work than a 128-multiple (384) would
+    tp = ((t + 7) // 8) * 8
     qf = _pad_to(q, tp).reshape(b * h, tp, hd)
     kf = _pad_to(k, tp).reshape(b * h, tp, hd)
     vf = _pad_to(v, tp).reshape(b * h, tp, hd)
@@ -153,7 +155,7 @@ def _flash_fwd_impl(q, k, v, drop_mask, n_unmasked, keep_prob):
 
 def _flash_bwd_impl(q, k, v, drop_mask, lse, do, n_unmasked, keep_prob):
     b, h, t, hd = q.shape
-    tp = ((t + 127) // 128) * 128
+    tp = ((t + 7) // 8) * 8
     qf = _pad_to(q, tp).reshape(b * h, tp, hd)
     kf = _pad_to(k, tp).reshape(b * h, tp, hd)
     vf = _pad_to(v, tp).reshape(b * h, tp, hd)
