@@ -58,9 +58,12 @@ class VQVAETask:
     def _build_steps(self):
         cfg, model, disc = self.cfg, self.model, self.disc
         opt_ae, opt_disc = self.opt_ae, self.opt_disc
-        # discriminator_iter_start = disc_start * 2
-        # (reference: big_model_attn_gan.py:596)
-        disc_iter_start = cfg.disc_start * 2
+        # The reference sets discriminator_iter_start = disc_start * 2
+        # (big_model_attn_gan.py:596) because Lightning's global_step
+        # increments once per optimizer, i.e. TWICE per batch.  Our step
+        # counts one per iteration, so the equivalent threshold in
+        # iterations is disc_start itself.
+        disc_iter_start = cfg.disc_start
 
         def last_conv_path(params):
             return params["decoder"]["conv_out"]["kernel"]
@@ -73,12 +76,19 @@ class VQVAETask:
         def generator_step(state, x):
             step = state["step"]
 
+            # The reference discriminator stays in train mode during the
+            # generator update (BatchNorm batch statistics); apply with
+            # train=True and discard the mutated running stats.
+            def disc_train_logits(recon):
+                logits, _ = disc.apply(
+                    {"params": state["disc_params"],
+                     "batch_stats": state["disc_stats"]}, recon,
+                    train=True, mutable=["batch_stats"])
+                return logits
+
             def loss_fn(params):
                 qloss, recon, rec_loss, perp, idx = ae_losses(params, x)
-                logits_fake = disc.apply(
-                    {"params": state["disc_params"],
-                     "batch_stats": state["disc_stats"]}, recon, train=False)
-                g_loss = -jnp.mean(logits_fake)
+                g_loss = -jnp.mean(disc_train_logits(recon))
 
                 # adaptive weight: grads of rec/g losses wrt the last conv
                 # kernel only (reference: :649-660)
@@ -92,10 +102,7 @@ class VQVAETask:
                     p = jax.tree_util.tree_map(lambda v: v, params)
                     p["decoder"]["conv_out"]["kernel"] = kernel
                     _, r, _ = model.apply({"params": p}, x)
-                    lf = disc.apply({"params": state["disc_params"],
-                                     "batch_stats": state["disc_stats"]},
-                                    r, train=False)
-                    return -jnp.mean(lf)
+                    return -jnp.mean(disc_train_logits(r))
 
                 kernel = last_conv_path(params)
                 nll_g = jnp.linalg.norm(
@@ -121,8 +128,11 @@ class VQVAETask:
                 loss_fn, has_aux=True)(state["ae_params"])
             updates, opt_state = opt_ae.update(grads, state["opt_ae"])
             ae_params = optax.apply_updates(state["ae_params"], updates)
-            new_state = dict(state, ae_params=ae_params, opt_ae=opt_state,
-                             step=step + 1)
+            # step advances in the discriminator phase so BOTH phases of
+            # iteration i see step == i (the reference's two optimizer
+            # global_steps within one batch are both < or both >= the
+            # doubled threshold).
+            new_state = dict(state, ae_params=ae_params, opt_ae=opt_state)
             return new_state, loss, log
 
         def discriminator_step(state, x):
@@ -151,7 +161,8 @@ class VQVAETask:
             updates, opt_state = opt_disc.update(grads, state["opt_disc"])
             dparams = optax.apply_updates(state["disc_params"], updates)
             new_state = dict(state, disc_params=dparams,
-                             disc_stats=new_stats, opt_disc=opt_state)
+                             disc_stats=new_stats, opt_disc=opt_state,
+                             step=step + 1)
             return new_state, d_loss, log
 
         def eval_step(state, x):

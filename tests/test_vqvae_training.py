@@ -8,6 +8,8 @@ import pytest
 from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
 from melspec_gpt_vqvae_tpu.training.vqvae_task import VQVAETask
 
+pytestmark = pytest.mark.slow  # training loops; default lane: -m 'not slow'
+
 TINY = VQVAEConfig(num_embeddings=8, embedding_dim=4, ch=8,
                    ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
                    resolution=16, z_channels=4, disc_ndf=8,
@@ -37,8 +39,11 @@ def test_train_step_runs_and_logs(task_and_state):
 
 
 def test_disc_kicks_in_after_start(task_and_state):
+    # step counts iterations (batches); the GAN terms activate exactly at
+    # iteration == disc_start (the reference's *2 converts batches to its
+    # twice-per-batch global_step — see vqvae_task disc_iter_start note)
     task, state = task_and_state
-    state = dict(state, step=jnp.asarray(TINY.disc_start * 2 + 1, jnp.int32))
+    state = dict(state, step=jnp.asarray(TINY.disc_start, jnp.int32))
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (2, 16, 16, 1)),
                     jnp.float32)
     state, logs = task.train_step(state, x)
