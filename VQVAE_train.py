@@ -127,6 +127,7 @@ def main(args):
                       f" ({time.time() - t0:.1f}s)")
                 ckpt.save({"state": state, "epoch": epoch}, step,
                           metric=agg.get("val/aeloss"))
+        ckpt.wait()   # async save must be durable before exit
 
     if args.eval:
         vals = []

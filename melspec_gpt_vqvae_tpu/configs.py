@@ -42,7 +42,6 @@ class GPTConfig:
     dtype: str = "float32"        # parameter dtype
     compute_dtype: str = "bfloat16"  # activation/matmul dtype on TPU
     remat: bool = False            # jax.checkpoint each block
-    use_pallas_attention: bool = True
     cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)
@@ -191,7 +190,13 @@ class TrainConfig:
     betas: tuple = (0.9, 0.95)
     optimizer: str = "adamw"      # "adamw" (minGPT two-group) | "adafactor"
                                   # (factored 2nd moment: fits GPT-XL-scale
-                                  # VAEs on a single 16GB chip)
+                                  # VAEs on a single 16GB chip) | "sgd" |
+                                  # "adam" (LSTM-VAE choice, Lit_vae.py:85-92)
+    momentum: float = 0.0         # SGD momentum (reference --momentum)
+    grad_clip: Optional[float] = None  # global-norm clip (reference
+                                       # clip_grad=5.0, commented out at
+                                       # GPT_VAE_train.py:25,176; required
+                                       # for LSTM SGD at lr 1.0)
     seed: int = 783435
     logging_frequency: int = 200
     log_dir: str = "lightning_logs"
@@ -301,6 +306,49 @@ class ExperimentConfig:
     vae: VAEConfig = field(default_factory=VAEConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     extras: Dict[str, Any] = field(default_factory=dict)
+
+
+def load_lstm_preset(dataset: str = "vas", **overrides):
+    """Legacy LSTM-VAE preset (reference config/config_vas.py + the flag
+    defaults of the lagging-inference-style system at
+    modules/Lit_vae.py:85-92: SGD, lr 1.0, momentum 0).
+
+    Returns (ExperimentConfig, LSTMConfig)."""
+    from .models.lstm_vae import LSTMConfig
+    p = preset_params("VAE", dataset)
+    p.update(overrides)
+    cfg = LSTMConfig(
+        vocab_size=130,                  # 128 codes + <s> + </s>
+        nz=p.get("nz", 32),
+        ni=p.get("ni", 512),
+        enc_nh=p.get("enc_nh", 1024),
+        dec_nh=p.get("dec_nh", 1024),
+        dec_dropout_in=p.get("dec_dropout_in", 0.5),
+        dec_dropout_out=p.get("dec_dropout_out", 0.5),
+        max_len=52,                      # 50-token parts + <s>/</s>
+    )
+    train = TrainConfig(
+        learning_rate=p.get("learning_rate", 1.0),
+        epochs=p.get("epochs", 150),
+        batch_size=p.get("batch_size", 8),
+        optimizer=p.get("optimizer", "sgd"),
+        momentum=p.get("momentum", 0.0),
+        grad_clip=p.get("grad_clip", 5.0),
+    )
+    data = DataConfig(
+        spec_dir_path=p.get("spec_dir_path", DataConfig.spec_dir_path),
+        batch_size=train.batch_size,
+        sample_rate=p.get("sample_rate", 22050),
+    )
+    vae = VAEConfig(nz=cfg.nz)
+    # model slot is unused by the LSTM system; a minimal placeholder keeps
+    # ExperimentConfig uniform for the runner/callbacks
+    placeholder = GPTConfig(vocab_size=cfg.vocab_size,
+                            block_size=cfg.max_len, n_layer=1, n_head=1,
+                            n_embd=cfg.ni)
+    exp = ExperimentConfig(model=placeholder, data=data, vae=vae,
+                           train=train, extras=dict(p))
+    return exp, cfg
 
 
 def load_preset(model: str, dataset: str, **overrides) -> ExperimentConfig:

@@ -16,18 +16,28 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Async saves: ``save`` blocks only for the device->host transfer
+    (orbax AsyncCheckpointer); the disk write — minutes for the 2.09B XL
+    on this 1-core host — overlaps the next training epoch.  ``best`` is
+    produced by copying the already-written ``last`` directory in the same
+    background thread, so an improving epoch costs ONE device->host copy,
+    not two (and never the old ``tree_map(np.asarray)`` full blocking
+    snapshot)."""
+
     def __init__(self, dirpath: str):
         self.dirpath = os.path.abspath(dirpath)
         os.makedirs(self.dirpath, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._pending: Optional[threading.Thread] = None
         self._meta_path = os.path.join(self.dirpath, "meta.json")
         self.meta = {"best_metric": None, "best_step": None, "last_step": None}
         if os.path.exists(self._meta_path):
@@ -38,23 +48,41 @@ class CheckpointManager:
         with open(self._meta_path, "w") as f:
             json.dump(self.meta, f)
 
-    def _save_to(self, name: str, state: Dict[str, Any]):
-        path = os.path.join(self.dirpath, name)
-        self._ckptr.save(path, state, force=True)
+    def wait(self):
+        """Block until any in-flight save (and best-copy) is durable."""
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     def save(self, state: Dict[str, Any], step: int,
              metric: Optional[float] = None):
-        """Always writes ``last``; writes ``best`` when ``metric`` improves
-        (mode=min, like the reference's monitor)."""
-        state = jax.tree_util.tree_map(np.asarray, state)
-        self._save_to("last", state)
+        """Always writes ``last``; snapshots ``best`` when ``metric``
+        improves (mode=min, like the reference's monitor).  ``state`` may
+        hold live jax arrays; they are safe to donate once this returns
+        (orbax copies device->host before going async)."""
+        self.wait()   # previous epoch's write must be durable first
+        last = os.path.join(self.dirpath, "last")
+        self._ckptr.save(last, state, force=True)
         self.meta["last_step"] = int(step)
-        if metric is not None:
-            best = self.meta.get("best_metric")
-            if best is None or float(metric) < float(best):
-                self._save_to("best", state)
-                self.meta["best_metric"] = float(metric)
-                self.meta["best_step"] = int(step)
+        improved = metric is not None and (
+            self.meta.get("best_metric") is None
+            or float(metric) < float(self.meta["best_metric"]))
+        if improved:
+            self.meta["best_metric"] = float(metric)
+            self.meta["best_step"] = int(step)
+            best = os.path.join(self.dirpath, "best")
+
+            def _copy_best():
+                self._ckptr.wait_until_finished()
+                tmp = best + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.copytree(last, tmp)
+                shutil.rmtree(best, ignore_errors=True)
+                os.replace(tmp, best)
+
+            self._pending = threading.Thread(target=_copy_best, daemon=True)
+            self._pending.start()
         self._write_meta()
 
     def restore(self, which: str = "last",
@@ -66,6 +94,7 @@ class CheckpointManager:
         ``--resume last`` continues the previous run, like the reference's
         ``trainer.fit(ckpt_path=...)`` given the prior run's last.ckpt.
         """
+        self.wait()   # an in-flight async save must land before reading
         if os.path.isabs(which) or os.sep in which:
             path = which
         else:

@@ -58,13 +58,29 @@ def gpt_adafactor(learning_rate: float) -> optax.GradientTransformation:
 
 
 def make_optimizer(name: str, learning_rate: float,
-                   weight_decay: float = 0.01, betas=(0.9, 0.95)
+                   weight_decay: float = 0.01, betas=(0.9, 0.95),
+                   momentum: float = 0.0, grad_clip: float | None = None
                    ) -> optax.GradientTransformation:
+    """``sgd``/``adam`` mirror the LSTM-VAE's optimizer choice
+    (/root/reference/modules/Lit_vae.py:85-92: SGD with --momentum, or
+    plain Adam); ``adamw`` is the minGPT two-group AdamW; ``adafactor`` is
+    the TPU-native big-model option.  ``grad_clip`` is global-norm clipping
+    — the reference comments it out (GPT_VAE_train.py:25,176: clip_grad
+    5.0) but SGD at lr 1.0 on the LSTM VAE diverges without it (measured:
+    NaN within 2 steps on TPU), so the LSTM preset turns it on."""
     if name == "adafactor":
-        return gpt_adafactor(learning_rate)
-    if name == "adamw":
-        return gpt_adamw(learning_rate, weight_decay, betas)
-    raise ValueError(f"unknown optimizer {name!r}")
+        tx = gpt_adafactor(learning_rate)
+    elif name == "adamw":
+        tx = gpt_adamw(learning_rate, weight_decay, betas)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate, momentum=momentum or None)
+    elif name == "adam":
+        tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1])
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
 
 
 def vqvae_adam(learning_rate: float) -> optax.GradientTransformation:

@@ -5,6 +5,13 @@ Replaces the reference's ``pl.Trainer`` usage
 (/root/reference/GPT_train.py:106-153, GPT_VAE_train.py:166-211): epoch
 loop, per-epoch validation, ModelCheckpoint(best+last), LR monitor scalars,
 periodic media logging, ``ckpt_path`` resume.
+
+Multi-host semantics: epoch metric sums are reduced across processes
+(``cross_process_sum`` — the reference's ``sync_dist=True``,
+Lit_GPT_VAE.py:310-313) so printed metrics and the best-checkpoint decision
+are global, and the hot loops never force a per-step host sync — the python
+step counter shadows the device one (they advance in lockstep by
+construction of the jitted train steps).
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import is_primary
+from ..parallel.reduce import cross_process_sum
 from ..utils.profiling import StepTimer
 from .checkpoint import CheckpointManager
 from .logging import TBLogger
@@ -24,6 +32,12 @@ from .logging import TBLogger
 
 def _host(x):
     return float(jax.device_get(x))
+
+
+def _global_mean(local_sum: float, local_count: float) -> float:
+    """Mean over all processes' (sum, count) pairs."""
+    r = cross_process_sum({"sum": local_sum, "count": local_count})
+    return r["sum"] / r["count"] if r["count"] else float("nan")
 
 
 def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
@@ -49,6 +63,9 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
     timer = StepTimer()
+    # one host sync per fit; afterwards the python counter shadows the
+    # device step (train_step increments by exactly 1)
+    step = int(jax.device_get(state["step"]))
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
@@ -60,40 +77,43 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
             rng, step_rng = jax.random.split(rng)
             state, loss = task.train_step(state, batch, step_rng)
             losses.append(loss)
-            step = int(jax.device_get(state["step"]))
+            step += 1
             perf = timer.tick(len(batch["target"]))
             if perf:
                 log.scalars(perf, step)
             if i % 50 == 0:
-                log.scalar("train/loss_step", _host(loss), step)
+                log.scalar("train/loss_step", loss, step)
                 log.scalar("learning_rate", task.exp.train.learning_rate,
                            step)
             if media_cb and logging_frequency and \
                     (i % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
 
-        train_loss = float(np.mean([_host(l) for l in losses])) if losses \
-            else float("nan")
-        # validation
-        val_losses = []
+        train_loss = _global_mean(
+            float(np.sum([_host(l) for l in losses])), len(losses)) \
+            if losses else float("nan")
+        # validation (loss sums weighted by batch size, reduced globally)
+        val_sum, val_count = 0.0, 0.0
         for i, batch in enumerate(val_loader):
             if limit_val_batches and i >= limit_val_batches:
                 break
-            val_losses.append(_host(task.eval_step(state, batch)))
+            b = len(batch["target"])
+            val_sum += _host(task.eval_step(state, batch)) * b
+            val_count += b
             if media_cb and logging_frequency and \
                     (i % logging_frequency == 0):
-                media_cb(state, batch, int(jax.device_get(state["step"])),
-                         "val")
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                media_cb(state, batch, step, "val")
+        val_loss = _global_mean(val_sum, val_count)
 
-        step = int(jax.device_get(state["step"]))
         log.scalar("train/loss_epoch", train_loss, step)
         log.scalar("val/loss", val_loss, step)
         if is_primary():
             print(f"epoch {epoch}: train/loss {train_loss:.4f} "
                   f"val/loss {val_loss:.4f} ({time.time() - t0:.1f}s)")
-            ckpt.save({"state": state, "epoch": epoch}, step,
-                      metric=val_loss)
+        # every process enters save (orbax coordinates multi-host writes);
+        # the monitored metric is the GLOBAL val loss on all of them
+        ckpt.save({"state": state, "epoch": epoch}, step, metric=val_loss)
+    ckpt.wait()   # async save must be durable before the fit returns
     return state
 
 
@@ -105,12 +125,14 @@ def validate_gpt(task, dm, *, ckpt: CheckpointManager,
         restored = ckpt.restore(resume, template={
             "state": jax.tree_util.tree_map(np.asarray, state), "epoch": 0})
         state = restored["state"]
-    losses = []
+    val_sum, val_count = 0.0, 0.0
     for i, batch in enumerate(dm.val_dataloader()):
         if limit_val_batches and i >= limit_val_batches:
             break
-        losses.append(_host(task.eval_step(state, batch)))
-    val = float(np.mean(losses))
+        b = len(batch["target"])
+        val_sum += _host(task.eval_step(state, batch)) * b
+        val_count += b
+    val = _global_mean(val_sum, val_count)
     print(f"val/loss {val:.4f}")
     return val
 
@@ -140,9 +162,11 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
         print(f"Restored from {resume} at epoch {start_epoch}")
 
     rng = jax.random.PRNGKey(seed)
+    eval_base = jax.random.PRNGKey(seed + 1)
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
     timer = StepTimer()
+    step = int(jax.device_get(state["step"]))
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
@@ -153,25 +177,31 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             rng, step_rng = jax.random.split(rng)
             state, loss, report = task.train_step(state, batch, step_rng,
                                                   epoch=epoch)
-            step = int(jax.device_get(state["step"]))
+            step += 1
             perf = timer.tick(batch["codes"].shape[0])
             if perf:
                 log.scalars(perf, step)
             if i % 50 == 0:
+                # report values are device arrays; TBLogger materialises
+                # them here (and only here)
                 log.scalars(report, step)
             if media_cb and logging_frequency and \
                     (i % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
 
-        # validation epoch (aggregated NLL/PPL, reference :363-383)
+        # validation epoch (aggregated NLL/PPL, reference :363-383) with a
+        # per-epoch pinned eval key so the monitored metric is reproducible
+        epoch_key = jax.random.fold_in(eval_base, epoch)
         outputs = []
         for i, batch in enumerate(val_loader):
             if limit_val_batches and i >= limit_val_batches:
                 break
-            rng, eval_rng = jax.random.split(rng)
-            outputs.append(task.eval_step(state, batch, eval_rng))
-        agg = task.aggregate_epoch(outputs) if outputs else {}
-        step = int(jax.device_get(state["step"]))
+            outputs.append(task.eval_step(state, batch,
+                                          jax.random.fold_in(epoch_key, i)))
+        agg = {}
+        if outputs:
+            sums = cross_process_sum(task.sum_outputs(outputs))
+            agg = task.metrics_from_sums(sums)
         for k, v in agg.items():
             log.scalar(f"val/{k}", v, step)
 
@@ -180,21 +210,24 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
                   " ".join(f"val/{k} {v:.4f}" for k, v in agg.items()) +
                   f" kl_w {_host(state['kl_weight']):.4f}"
                   f" ({time.time() - t0:.1f}s)")
-            if agg and agg["loss"] < extras["best_loss"]:
-                extras["best_loss"] = agg["loss"]
-            ckpt.save({"state": state, "epoch": epoch, "extras": extras},
-                      step, metric=agg.get("loss"))
+        if agg and agg["loss"] < extras["best_loss"]:
+            extras["best_loss"] = agg["loss"]
+        ckpt.save({"state": state, "epoch": epoch, "extras": extras},
+                  step, metric=agg.get("loss"))
         if epoch_end_cb:
             epoch_end_cb(state, epoch, agg, extras)
+    ckpt.wait()   # async save must be durable before the fit returns
     return state
 
 
 def evaluate_vae(task, dm, *, split: str = "val",
                  ckpt: Optional[CheckpointManager] = None,
                  resume: Optional[str] = None, compute_mi_au: bool = False,
+                 iw_nsamples: int = 0,
                  limit_batches: Optional[int] = None) -> Dict[str, float]:
     """validate/test entry (reference test_epoch_end prints loss, kl, recon,
-    nll, ppl, active_units, mutual_info: Lit_GPT_VAE.py:571-607)."""
+    nll, ppl, active_units, mutual_info: Lit_GPT_VAE.py:571-607; the
+    importance-weighted NLL/PPL driver is reference utils.py:50-77)."""
     state = task.init_state()
     if resume and ckpt:
         restored = ckpt.restore(resume, template={
@@ -209,7 +242,8 @@ def evaluate_vae(task, dm, *, split: str = "val",
             break
         rng, r = jax.random.split(rng)
         outputs.append(task.eval_step(state, batch, r))
-    agg = task.aggregate_epoch(outputs)
+    agg = task.metrics_from_sums(
+        cross_process_sum(task.sum_outputs(outputs)))
     if compute_mi_au:
         loader2 = (dm.test_dataloader() if split == "test"
                    else dm.val_dataloader())
@@ -221,5 +255,17 @@ def evaluate_vae(task, dm, *, split: str = "val",
         mi, au, _ = task.calc_mi_au(state, batches)
         agg["mutual_info"] = mi
         agg["active_units"] = au
+    if iw_nsamples and iw_nsamples > 0:
+        loader3 = (dm.test_dataloader() if split == "test"
+                   else dm.val_dataloader())
+        batches = []
+        for i, b in enumerate(loader3):
+            if limit_batches and i >= limit_batches:
+                break
+            batches.append(b)
+        iw_nll, iw_ppl = task.calc_iwnll(state, batches,
+                                         nsamples=iw_nsamples)
+        agg["iw_nll"] = iw_nll
+        agg["iw_ppl"] = iw_ppl
     print(f"{split}: " + " ".join(f"{k} {v:.4f}" for k, v in agg.items()))
     return agg

@@ -26,6 +26,7 @@ import optax
 from ..configs import ExperimentConfig
 from ..models import gpt_vae as V
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.reduce import cross_process_sum
 from .gpt_task import tokens_from_batch
 from .optim import make_optimizer
 
@@ -42,7 +43,7 @@ class VAETask:
         self.optimizer = make_optimizer(
             getattr(exp.train, "optimizer", "adamw"),
             exp.train.learning_rate, exp.train.weight_decay,
-            exp.train.betas)
+            exp.train.betas, momentum=getattr(exp.train, "momentum", 0.0))
         vae = exp.vae
         # (reference: Lit_GPT_VAE.py:69-75)
         if vae.warm_up > 0 and steps_per_epoch > 0:
@@ -113,16 +114,19 @@ class VAETask:
         state, loss, aux = self._train_step(state, x, rng,
                                             jnp.asarray(freeze))
         b, t = x.shape
-        # reporting normalisation (reference: Lit_GPT_VAE.py:258-315)
+        # Reporting normalisation (reference: Lit_GPT_VAE.py:258-315).
+        # Values stay DEVICE arrays — converting to python floats here would
+        # force a host sync every step; the runner materialises them only on
+        # logging steps.
         report = {
-            "train/loss": (float(aux["loss_rc"]) + float(aux["loss_kl"]))
-            / b if self.exp.vae.beta != 0 else float(loss),
-            "train/loss_rc": float(aux["loss_rc"]) / b,
-            "train/loss_kl": float(aux["loss_kl"]) / b,
-            "train/kl_weight": float(aux["kl_weight"]),
+            "train/loss": (aux["loss_rc"] + aux["loss_kl"]) / b
+            if self.exp.vae.beta != 0 else loss,
+            "train/loss_rc": aux["loss_rc"] / b,
+            "train/loss_kl": aux["loss_kl"] / b,
+            "train/kl_weight": aux["kl_weight"],
         }
         if "fake_loss_kl" in aux:
-            report["train/fake_loss_kl"] = float(aux["fake_loss_kl"])
+            report["train/fake_loss_kl"] = aux["fake_loss_kl"]
         return state, loss, report
 
     def eval_step(self, state, batch, rng) -> Dict[str, Any]:
@@ -137,17 +141,28 @@ class VAETask:
         return out
 
     @staticmethod
-    def aggregate_epoch(outputs) -> Dict[str, float]:
-        """NLL/PPL aggregation (reference: Lit_GPT_VAE.py:363-383)."""
-        rec = sum(o["loss_rc"] for o in outputs)
-        kl = sum(o["loss_kl"] for o in outputs)
-        loss = sum(o["loss"] for o in outputs)
-        words = sum(o["num_words"] for o in outputs)
-        sents = sum(o["num_sents"] for o in outputs)
+    def sum_outputs(outputs) -> Dict[str, float]:
+        """Epoch metric sums over this host's eval batches.  These are the
+        quantities that must be summed ACROSS processes (sync_dist parity)
+        before ``metrics_from_sums`` derives NLL/PPL."""
+        return {k: float(sum(o[k] for o in outputs))
+                for k in ("loss", "loss_rc", "loss_kl",
+                          "num_words", "num_sents")}
+
+    @staticmethod
+    def metrics_from_sums(sums: Dict[str, float]) -> Dict[str, float]:
+        """NLL/PPL aggregation from (possibly globally reduced) sums
+        (reference: Lit_GPT_VAE.py:363-383)."""
+        rec, kl = sums["loss_rc"], sums["loss_kl"]
+        words, sents = sums["num_words"], sums["num_sents"]
         nll = (kl + rec) / sents
-        return {"loss": loss / sents, "nll": nll, "kl": kl / sents,
+        return {"loss": sums["loss"] / sents, "nll": nll, "kl": kl / sents,
                 "rec": rec / sents,
                 "ppl": float(np.exp(nll * sents / words))}
+
+    @classmethod
+    def aggregate_epoch(cls, outputs) -> Dict[str, float]:
+        return cls.metrics_from_sums(cls.sum_outputs(outputs))
 
     # ------------------------------------------------------------------
     # research metrics + media paths
@@ -159,6 +174,27 @@ class VAETask:
         key = key if key is not None else jax.random.PRNGKey(0)
         xs = (tokens_from_batch(jnp.asarray(b["codes"])) for b in batches)
         return V.corpus_mi_and_au(state["params"], self.cfgs, key, xs)
+
+    def calc_iwnll(self, state, batches, nsamples: int = 500, ns: int = 10,
+                   key=None):
+        """Importance-weighted NLL/PPL over an eval loader (the reference
+        driver utils.py:50-77 + nll_iw, modules/Lit_vae.py:610-668), with
+        cross-process sum reduction."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cfgs = self.cfgs
+        fn = jax.jit(lambda p, k, x: V.nll_iw(p, cfgs, k, x,
+                                              nsamples=nsamples, ns=ns))
+        nll_sum, words, sents = 0.0, 0, 0
+        for b in batches:
+            x = tokens_from_batch(jnp.asarray(b["codes"]))
+            key, k = jax.random.split(key)
+            nll_sum += float(jnp.sum(fn(state["params"], k, x)))
+            words += (x.shape[1] - 1) * x.shape[0]
+            sents += x.shape[0]
+        s = cross_process_sum({"nll": nll_sum, "words": float(words),
+                               "sents": float(sents)})
+        nll = s["nll"] / s["sents"]
+        return nll, float(np.exp(nll * s["sents"] / s["words"]))
 
     def reconstruct(self, state, batch, strategy="greedy", key=None):
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -24,6 +24,8 @@ from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
 from melspec_gpt_vqvae_tpu.training.logging import TBLogger
 from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 
+pytestmark = pytest.mark.slow  # training loops; default lane: -m 'not slow'
+
 TINY_GPT = GPTConfig(vocab_size=16, block_size=21, n_layer=1, n_head=2,
                      n_embd=16, class_size=2)
 TINY_VAE = GPTConfig(vocab_size=16, block_size=20, n_layer=1, n_head=2,
@@ -117,3 +119,40 @@ def test_fit_vae_end_to_end(vas_tree, tmp_path):
                               limit_batches=1)
     for k in ("loss", "nll", "ppl", "mutual_info", "active_units"):
         assert k in agg
+
+
+def test_evaluate_vae_iw_nll(vas_tree):
+    """--test 1 --iw_nsamples path: IW-NLL/PPL reachable from the eval
+    entry (reference driver: utils.py:50-77)."""
+    dm = _dm(vas_tree)
+    exp = _exp(TINY_VAE)
+    task = VAETask(exp, steps_per_epoch=3,
+                   mesh=make_mesh({"data": 4}), use_pallas=False)
+    agg = runner.evaluate_vae(task, dm, split="val", iw_nsamples=4,
+                              limit_batches=1)
+    assert np.isfinite(agg["iw_nll"]) and np.isfinite(agg["iw_ppl"])
+    # the IW bound is at least as tight as the ELBO-derived NLL up to MC
+    # noise; with 4 samples just require sane magnitudes
+    assert agg["iw_nll"] > 0
+
+    # the root-utils wrapper (reference utils.py:50-77 signature) works too
+    import utils as root_utils
+    state = task.init_state(0)
+    batches = [next(iter(dm.val_dataloader()))]
+    nll, ppl = root_utils.calc_iwnll(task, state, batches, nsamples=4, ns=2)
+    assert np.isfinite(nll) and np.isfinite(ppl)
+
+
+def test_train_report_stays_on_device(vas_tree):
+    """Per-step host syncs are gone: train_step's report must be jax arrays
+    (materialised only on logging steps)."""
+    import jax.numpy as jnp
+    dm = _dm(vas_tree)
+    exp = _exp(TINY_VAE)
+    task = VAETask(exp, steps_per_epoch=3,
+                   mesh=make_mesh({"data": 4}), use_pallas=False)
+    state = task.init_state(0)
+    batch = next(iter(dm.train_dataloader()))
+    _, _, report = task.train_step(state, batch, jax.random.PRNGKey(0))
+    for k, v in report.items():
+        assert isinstance(v, jnp.ndarray), k

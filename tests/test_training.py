@@ -20,6 +20,8 @@ from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask, tokens_from_batch
 from melspec_gpt_vqvae_tpu.training.optim import decay_mask
 from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 
+pytestmark = pytest.mark.slow  # training loops; default lane: -m 'not slow'
+
 TINY = GPTConfig(vocab_size=16, block_size=21, n_layer=2, n_head=2,
                  n_embd=16, class_size=4)
 
@@ -222,6 +224,7 @@ def test_checkpoint_resume_falls_back_to_previous_version(tmp_path):
     base = tmp_path / "checkpoints"
     old = CheckpointManager(str(base / "version_0"))
     old.save({"state": state, "epoch": 3}, step=5, metric=1.0)
+    old.wait()   # a prior run's saves are durable (fit waits before exit)
     new = CheckpointManager(str(base / "version_1"))  # empty fresh dir
     template = {"state": jax.tree_util.tree_map(np.asarray, state),
                 "epoch": 0}

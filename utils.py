@@ -34,17 +34,12 @@ def xavier_normal_initializer():
     return nn.initializers.xavier_normal()
 
 
-def calc_iwnll(task, loader, nsamples: int = 500, ns: int = 10, key=None):
-    """IW NLL/PPL over an eval loader for a VAETask
-    (reference: utils.py:50-77)."""
-    from melspec_gpt_vqvae_tpu.models.gpt_vae import calc_iwnll as _impl
-    from melspec_gpt_vqvae_tpu.training.gpt_task import tokens_from_batch
-    key = key if key is not None else jax.random.PRNGKey(0)
-    batches = (tokens_from_batch(jnp.asarray(b["codes"])) for b in loader)
-    state = task if isinstance(task, dict) else None
-    params = state["params"] if state else task.state["params"]
-    cfgs = task.cfgs if hasattr(task, "cfgs") else None
-    return _impl(params, cfgs, key, batches, nsamples=nsamples, ns=ns)
+def calc_iwnll(task, state, loader, nsamples: int = 500, ns: int = 10,
+               key=None):
+    """IW NLL/PPL over an eval loader for a VAETask + train state
+    (reference: utils.py:50-77).  ``loader`` yields batch dicts with a
+    ``codes`` entry; returns (nll, ppl)."""
+    return task.calc_iwnll(state, loader, nsamples=nsamples, ns=ns, key=key)
 
 
 def calc_mi(task, state, loader, key=None):
