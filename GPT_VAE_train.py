@@ -18,19 +18,27 @@ def init_config():
     parser = argparse.ArgumentParser(description="GPT-VAE (TPU-native)")
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--model", type=str, choices=["gpt", "lstm"],
+                        default="gpt",
+                        help="lstm = the legacy LSTM-VAE system "
+                             "(reference modules/Lit_vae.py; no entry point "
+                             "exists for it in the reference)")
     parser.add_argument("--gpus", nargs="+", type=int, default=[0],
                         help="accepted for parity; mesh spans all devices")
     parser.add_argument("--num_nodes", type=int, default=1)
 
-    # optimisation
-    parser.add_argument("--momentum", type=float, default=0)
+    # optimisation.  --opt/--lr default to the preset (AdamW at the preset
+    # LR — the reference parsed these flags but always built AdamW,
+    # Lit_GPT_VAE.py:887-943); passing them explicitly overrides.
+    parser.add_argument("--momentum", type=float, default=0.0,
+                        help="SGD momentum (used with --opt sgd)")
     parser.add_argument("--opt", type=str,
                         choices=["sgd", "adam", "adamw", "adafactor"],
-                        default="sgd",
-                        help="adafactor fits GPT-XL-scale VAEs on one chip "
-                             "(the reference's flag existed but AdamW was "
-                             "always used, Lit_GPT_VAE.py:887-943)")
-    parser.add_argument("--lr", type=float, default=1.0)
+                        default=None,
+                        help="default: preset optimizer (adamw); adafactor "
+                             "fits GPT-XL-scale VAEs on one chip")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="default: preset learning rate")
     parser.add_argument("--nsamples", type=int, default=1)
     parser.add_argument("--iw_train_nsamples", type=int, default=-1)
     parser.add_argument("--iw_train_ns", type=int, default=1)
@@ -119,6 +127,8 @@ def main(args):
     from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 
     np.random.seed(args.seed)
+    if args.model == "lstm":
+        return run_lstm(args)
     exp = load_preset("GPT_VAE", args.dataset)
     exp.vae = VAEConfig(
         nz=exp.model.n_embd, nsamples=args.nsamples,
@@ -130,8 +140,11 @@ def main(args):
     if args.epochs_override:
         exp.train = dataclasses.replace(exp.train,
                                         epochs=args.epochs_override)
-    if args.opt == "adafactor":
-        exp.train = dataclasses.replace(exp.train, optimizer="adafactor")
+    if args.opt is not None:
+        exp.train = dataclasses.replace(exp.train, optimizer=args.opt,
+                                        momentum=args.momentum)
+    if args.lr is not None:
+        exp.train = dataclasses.replace(exp.train, learning_rate=args.lr)
     if args.param_dtype != "float32":
         exp.model = exp.model.replace(dtype=args.param_dtype)
     print(f"devices: {jax.devices()}")
@@ -199,11 +212,128 @@ def main(args):
                             resume=args.resume, compute_mi_au=True,
                             limit_batches=args.limit_val_batches or None)
     if args.test == 1:
+        # --test runs the IW-NLL/PPL driver too (reference utils.py:50-77)
         runner.evaluate_vae(
             task, dm,
             split="test" if "vggsound" in exp.data.spec_dir_path else "val",
             ckpt=ckpt, resume=args.resume, compute_mi_au=True,
+            iw_nsamples=args.iw_nsamples,
             limit_batches=args.limit_val_batches or None)
+
+    def _restored_state(which):
+        import utils as root_utils  # noqa: F401  (keeps parity surface)
+        state = task.init_state(args.seed)
+        template = {"state": jax.tree_util.tree_map(np.asarray, state),
+                    "epoch": 0, "extras": {"best_loss": 1e4, "pre_mi": 0.0}}
+        return ckpt.restore(which, template=template)["state"]
+
+    def _limited_val():
+        for i, b in enumerate(dm.val_dataloader()):
+            if args.limit_val_batches and i >= args.limit_val_batches:
+                break
+            yield b
+
+    if args.reconstruct_from:
+        # reconstruct the val split with --decoding_strategy and dump token
+        # rows (reference driver: utils.py:19-47)
+        import utils as root_utils
+        state = _restored_state(args.reconstruct_from)
+        root_utils.reconstruct(task, state, _limited_val(),
+                               args.decoding_strategy, args.reconstruct_to)
+        print(f"reconstructions ({args.decoding_strategy}) -> "
+              f"{args.reconstruct_to}")
+
+    if args.save_latent:
+        # dump posterior means + labels (reference: utils.py:216-247)
+        import utils as root_utils
+        state = _restored_state(args.resume or "last")
+        fname = os.path.join(run_dir, "latent.txt")
+        root_utils.visualize_latent(task, state, _limited_val(), fname)
+        print(f"latents -> {fname}")
+
+    if args.test_interpolation:
+        # latent interpolation between the first two val items (reference
+        # audio_interpolation: GPT_VAE_callbacks.py:324-386); media logged
+        # through the same TextLogger pipeline
+        state = _restored_state(args.resume or "last")
+        batch = next(iter(dm.val_dataloader()))
+        media_cb.log_interpolation(state, batch,
+                                   int(jax.device_get(state["step"])))
+        print("interpolation media logged")
+
+
+def run_lstm(args):
+    """The legacy LSTM-VAE training system (reference modules/Lit_vae.py:
+    19-910 + callbacks/VAE_callbacks.py — importable but entry-point-less
+    in the reference; here it is a first-class --model lstm mode)."""
+    import dataclasses
+
+    import jax
+
+    from melspec_gpt_vqvae_tpu.configs import VAEConfig, load_lstm_preset
+    from melspec_gpt_vqvae_tpu.data import DataModule
+    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+    from melspec_gpt_vqvae_tpu.training import runner
+    from melspec_gpt_vqvae_tpu.training.callbacks import (LSTMTextLogger,
+                                                          metrics_epoch_end)
+    from melspec_gpt_vqvae_tpu.training.checkpoint import CheckpointManager
+    from melspec_gpt_vqvae_tpu.training.lstm_task import LSTMVAETask
+    from melspec_gpt_vqvae_tpu.training.logging import TBLogger
+
+    exp, cfg = load_lstm_preset(args.dataset)
+    exp.vae = VAEConfig(
+        nz=cfg.nz, nsamples=args.nsamples,
+        iw_train_nsamples=args.iw_train_nsamples,
+        iw_train_ns=args.iw_train_ns, iw_nsamples=args.iw_nsamples,
+        warm_up=args.warm_up, kl_start=args.kl_start, beta=args.beta,
+        fb=args.fb, target_kl=args.target_kl, fix_var=args.fix_var)
+    if args.fix_var > 0:
+        cfg = cfg._replace(fix_var=args.fix_var)
+    if args.epochs_override:
+        exp.train = dataclasses.replace(exp.train,
+                                        epochs=args.epochs_override)
+    if args.opt is not None:
+        exp.train = dataclasses.replace(exp.train, optimizer=args.opt,
+                                        momentum=args.momentum)
+    if args.lr is not None:
+        exp.train = dataclasses.replace(exp.train, learning_rate=args.lr)
+
+    mesh = make_mesh(parse_mesh(args.mesh))
+    dm = DataModule(batch_size=exp.train.batch_size,
+                    spec_dir_path=exp.data.spec_dir_path,
+                    data_root=args.data_root,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    dm.setup()
+    task = LSTMVAETask(exp, cfg, steps_per_epoch=len(dm.train_dataloader()),
+                       mesh=mesh)
+
+    run_dir = os.path.join("lightning_logs",
+                           f"{args.experiment}-{args.dataset}")
+    log = TBLogger(run_dir)
+    ckpt = CheckpointManager(os.path.join(
+        run_dir, "checkpoints", f"version_{log.version}"))
+    media_cb = LSTMTextLogger(task, log)
+    epoch_cb = metrics_epoch_end(task, dm, log,
+                                 limit_batches=args.limit_val_batches or None)
+
+    if args.train:
+        runner.fit_vae(task, dm, epochs=exp.train.epochs, log=log,
+                       ckpt=ckpt, seed=args.seed,
+                       logging_frequency=args.logging_frequency,
+                       media_cb=media_cb, epoch_end_cb=epoch_cb,
+                       resume=args.resume,
+                       limit_train_batches=args.limit_train_batches or None,
+                       limit_val_batches=args.limit_val_batches or None)
+    if args.eval == 1:
+        runner.evaluate_vae(task, dm, split="val", ckpt=ckpt,
+                            resume=args.resume, compute_mi_au=True,
+                            limit_batches=args.limit_val_batches or None)
+    if args.test == 1:
+        runner.evaluate_vae(task, dm, split="val", ckpt=ckpt,
+                            resume=args.resume, compute_mi_au=True,
+                            iw_nsamples=args.iw_nsamples,
+                            limit_batches=args.limit_val_batches or None)
 
 
 if __name__ == "__main__":

@@ -291,6 +291,88 @@ def lstm_vae_loss(p, cfg, key, x, kl_weight, nsamples=1, *, train=False):
     return rec + kl_weight * kl, rec, kl
 
 
+def lstm_nll_iw(p: Params, cfg: LSTMConfig, key: jax.Array, x: jnp.ndarray,
+                nsamples: int = 100, ns: int = 10) -> jnp.ndarray:
+    """IW estimate of -log p(x) per item -> (B,) (the reference's LIVE
+    ``nll_iw``: modules/Lit_vae.py:610-643)."""
+    mu, logvar = lstm_encoder_forward(p["encoder"], cfg, x)
+    chunks = max(1, nsamples // ns)
+
+    def one_chunk(k):
+        z = reparameterize(k, mu, logvar, ns)                  # (B, ns, nz)
+        log_px_z = lstm_log_probability(p["decoder"], cfg, x, z)
+        log_pz = log_prior(z)
+        log_qz = lstm_eval_inference_dist(p, cfg, x, z, param=(mu, logvar))
+        return log_px_z + log_pz - log_qz
+
+    keys = jax.random.split(key, chunks)
+    lls = jax.lax.map(one_chunk, keys)                         # (C, B, ns)
+    lls = jnp.moveaxis(lls, 0, 1).reshape(x.shape[0], -1)
+    return -(log_sum_exp(lls, axis=1) - math.log(lls.shape[1]))
+
+
+def lstm_loss_iw(p, cfg, key, x, kl_weight, nsamples: int = 50,
+                 ns: int = 10):
+    """IW training objective -> (loss, rec, kl) per item (the reference's
+    live ``loss_iw``: modules/Lit_vae.py:542-608)."""
+    k1, k2 = jax.random.split(key)
+    mu, logvar = lstm_encoder_forward(p["encoder"], cfg, x)
+    kl = gaussian_kl(mu, logvar)
+    nll = lstm_nll_iw(p, cfg, k2, x, nsamples=nsamples, ns=ns)
+    return nll + kl_weight * kl, nll, kl
+
+
+def lstm_training_loss(p: Params, cfg: LSTMConfig, vae, key: jax.Array,
+                       x: jnp.ndarray, kl_weight, *, nsamples: int = 1,
+                       train: bool = True) -> Tuple[jnp.ndarray, Dict]:
+    """Scalar training loss with the fb∈{0,1,2,3} / beta==0 / IW-train
+    branch structure (reference training_step: modules/Lit_vae.py:204-272;
+    same shape as the GPT flavor's gpt_vae.training_loss).  ``vae`` is a
+    VAEConfig carrying beta/fb/target_kl/iw_train_nsamples."""
+    from .gpt_vae import gaussian_kl_per_dim
+    aux: Dict[str, jnp.ndarray] = {}
+
+    def elbo(kw):
+        return lstm_vae_loss(p, cfg, key, x, kw, nsamples, train=train)
+
+    if vae.beta == 0 and vae.iw_train_nsamples > 0:
+        loss, rec, kl = lstm_loss_iw(p, cfg, key, x, kl_weight,
+                                     nsamples=vae.iw_train_nsamples,
+                                     ns=max(1, vae.iw_train_ns))
+    elif vae.beta == 0:
+        loss, rec, kl = elbo(0.0)
+    elif vae.fb == 0:
+        loss, rec, kl = elbo(kl_weight)
+    elif vae.fb == 1:
+        _, rec, kl = elbo(kl_weight)
+        kl_mask = (kl > vae.target_kl).astype(kl.dtype)
+        loss = rec + kl_mask * kl_weight * kl
+    elif vae.fb == 2:
+        k_enc, k_dec = jax.random.split(key)
+        mu, logvar = lstm_encoder_forward(p["encoder"], cfg, x)
+        z = reparameterize(k_enc, mu, logvar, nsamples)
+        kl_dim = gaussian_kl_per_dim(mu, logvar)
+        dim_target = vae.target_kl / float(cfg.nz)
+        kl_mask = (kl_dim > dim_target).astype(kl_dim.dtype)
+        fake_kl = jnp.sum(kl_mask * kl_dim, axis=1)
+        rec = jnp.mean(lstm_reconstruct_error(
+            p["decoder"], cfg, x, z, train=train,
+            rng=k_dec if train else None), axis=1)
+        loss = rec + kl_weight * fake_kl
+        kl = jnp.sum(kl_dim, axis=1)
+        aux["fake_loss_kl"] = jnp.mean(fake_kl)
+    elif vae.fb == 3:
+        _, rec, kl = elbo(kl_weight)
+        kl_mask = (jnp.mean(kl) > vae.target_kl).astype(kl.dtype)
+        loss = rec + kl_mask * kl_weight * kl
+    else:
+        raise ValueError(f"unknown fb mode {vae.fb}")
+
+    aux["loss_rc"] = jnp.sum(rec)
+    aux["loss_kl"] = jnp.sum(kl)
+    return jnp.mean(loss), aux
+
+
 def lstm_eval_inference_dist(p, cfg, x, z, param=None):
     nz = z.shape[2]
     mu, logvar = param if param is not None else \

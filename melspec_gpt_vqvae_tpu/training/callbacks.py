@@ -179,13 +179,62 @@ class VAETextLogger:
 
         # latent interpolation between the first two items
         # (reference audio_interpolation: GPT_VAE_callbacks.py:324-386)
-        if batch["codes"].shape[0] >= 2:
-            x2 = tokens_from_batch(jnp.asarray(batch["codes"]))[1:2]
-            outs = self.task.interpolate(state, x, x2,
-                                         steps=self.interpolation_steps)
-            for i, seq in enumerate(outs):
-                self._log_codes(f"{split}/interpolation_{i}",
-                                np.asarray(seq), step)
+        self.log_interpolation(state, batch, step, split=split)
+        self.log.flush()
+
+    def log_interpolation(self, state, batch, step: int, split: str = "val"):
+        """Decode at linspace points between the first two items' posteriors
+        (the --test_interpolation path; reference audio_interpolation:
+        GPT_VAE_callbacks.py:324-386)."""
+        if not is_primary() or np.asarray(batch["codes"]).shape[0] < 2:
+            return
+        from .gpt_task import tokens_from_batch
+        toks = tokens_from_batch(jnp.asarray(batch["codes"]))
+        outs = self.task.interpolate(state, toks[:1], toks[1:2],
+                                     steps=self.interpolation_steps)
+        for i, seq in enumerate(outs):
+            self._log_codes(f"{split}/interpolation_{i}",
+                            np.asarray(seq), step)
+        self.log.flush()
+
+
+class LSTMTextLogger:
+    """LSTM-flavor TextLogger (reference callbacks/VAE_callbacks.py:30-370):
+    original / greedy-reconstruction / TRUE-beam-reconstruction /
+    sample-from-prior sentences decoded through ``VocabEntry`` word ids."""
+
+    def __init__(self, task, log: TBLogger, vocab=None):
+        from ..data.vocab import VocabEntry
+        self.task = task
+        self.log = log
+        self.vocab = vocab or VocabEntry()
+        self._key = jax.random.PRNGKey(0)
+
+    def _sentence(self, row) -> str:
+        return " ".join(str(w) for w in
+                        self.vocab.decode_sentence(np.asarray(row)))
+
+    def _log_text(self, tag: str, toks, step: int):
+        self.log.text(tag, self._sentence(np.asarray(toks)[0]), step)
+
+    def __call__(self, state, batch, step: int, split: str):
+        if not is_primary() or "codes" not in batch:
+            return
+        from .lstm_task import lstm_tokens_from_batch
+        self._key, k1, k2, k3 = jax.random.split(self._key, 4)
+        cfg = self.task.cfg
+        x = lstm_tokens_from_batch(np.asarray(batch["codes"])[:1],
+                                   cfg.bos_id, cfg.eos_id)[:1]
+        self._log_text(f"{split}/original", x, step)
+        one = {"codes": np.asarray(batch["codes"])[:1]}
+        self._log_text(f"{split}/greedy_reconstruction",
+                       self.task.reconstruct(state, one, "greedy", key=k1),
+                       step)
+        self._log_text(f"{split}/beam_reconstruction",
+                       self.task.reconstruct(state, one, "beam", key=k2),
+                       step)
+        self._log_text(f"{split}/sampled_from_prior",
+                       self.task.sample_from_prior(state, 1, key=k3), step)
         self.log.flush()
 
 
