@@ -21,6 +21,8 @@ from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
 from melspec_gpt_vqvae_tpu.training.logging import TBLogger, attention_image
 from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 
+pytestmark = pytest.mark.slow  # training loops; default lane: -m 'not slow'
+
 VQ_TINY = VQVAEConfig(num_embeddings=16, embedding_dim=8, ch=8,
                       ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
                       resolution=16, z_channels=8, code_h=4, code_w=5)

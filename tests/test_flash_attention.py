@@ -10,6 +10,8 @@ from melspec_gpt_vqvae_tpu.ops import attention as A
 from melspec_gpt_vqvae_tpu.ops import flash_attention as F
 
 
+pytestmark = pytest.mark.slow  # training loops; default lane: -m 'not slow'
+
 def _qkv(b=2, h=3, t=37, hd=16, seed=0):
     rng = np.random.default_rng(seed)
     return tuple(jnp.asarray(rng.standard_normal((b, h, t, hd)),
