@@ -43,7 +43,6 @@ def main():
     from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
     from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
     from melspec_gpt_vqvae_tpu.ops.mel_pallas import waveform_to_mel_pallas
-    from melspec_gpt_vqvae_tpu.utils.codes import make_idx
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
     platform = jax.devices()[0].platform
@@ -51,8 +50,11 @@ def main():
 
     exp = load_preset("GPT", "vas")
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1" and on_tpu
-    gcfg = exp.model.replace(dtype="bfloat16" if on_tpu else "float32",
-                             cache_dtype="int8" if int8_kv else "auto")
+    int8_w = os.environ.get("BENCH_INT8_W", "0") == "1" and on_tpu
+    gcfg = exp.model.replace(
+        dtype="bfloat16" if on_tpu else "float32",
+        cache_dtype="int8" if int8_kv else "auto",
+        decode_weight_dtype="int8" if int8_w else "auto")
     vcfg = exp.vqvae
     mcfg = MelConfig()
 
@@ -71,9 +73,6 @@ def main():
             lambda a: a.astype(jnp.bfloat16), t)
         vq_params = to_bf16(vq_params)
         voc_params = to_bf16(voc_params)
-
-    fwd_idx, _ = make_idx(vcfg.code_h, vcfg.code_w)
-    fwd_idx = jnp.asarray(fwd_idx)
 
     use_pallas_mel = os.environ.get("BENCH_PALLAS_MEL", "1") == "1" and on_tpu
 
@@ -100,8 +99,11 @@ def main():
                             segments=segments)
 
     def detokenize(vqp, vocp, tokens):
-        """(B, 265) GPT-order tokens -> spec -> waveform."""
-        grid = tokens[:, fwd_idx].reshape(-1, vcfg.code_w, vcfg.code_h)
+        """(B, 265) GPT-order tokens -> spec -> waveform.
+
+        Inverse of tokenize's time-major flatten (sequence_to_grid;
+        reference code_reader(reverse=True), minGPT.py:438-456)."""
+        grid = tokens.reshape(-1, vcfg.code_w, vcfg.code_h)
         grid = jnp.swapaxes(grid, 1, 2)                   # (B, 5, 53)
         spec = vq.apply({"params": vqp}, grid,
                         method="decode_code")[..., 0]     # (B, 80, 848)
@@ -118,11 +120,24 @@ def main():
     _det = jax.jit(detokenize)
     tokenize_j = lambda wav: _tok(vq_params, wav)
     generate_j = lambda c, key: _gen(gpt_params, c, key)
-    detokenize_j = lambda toks: _det(vq_params, voc_params, toks)
+    # chunked detokenize bounds VQ-decoder/vocoder activation memory so
+    # B can exceed 128 (decode throughput rises with batch)
+    detok_chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "0"))
 
+    def detokenize_j(toks):
+        if not detok_chunk or toks.shape[0] <= detok_chunk:
+            return _det(vq_params, voc_params, toks)
+        return jnp.concatenate(
+            [_det(vq_params, voc_params, toks[i:i + detok_chunk])
+             for i in range(0, toks.shape[0], detok_chunk)], axis=0)
+
+    # deterministic tone/chirp battery (shared with parity_check.py) tiled
+    # to B — realistic codebook-usage patterns instead of Gaussian noise
+    from parity_check import make_battery
+    battery = make_battery(mcfg.clip_samples)
+    reps = -(-B // battery.shape[0])
+    wav = jnp.asarray(np.tile(battery, (reps, 1))[:B], jnp.float32)
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((B, mcfg.clip_samples)) * 0.1,
-                      jnp.float32)
     cls = jnp.asarray(rng.integers(0, gcfg.class_size, (B,)), jnp.int32)
 
     def pipeline(key):
@@ -168,6 +183,7 @@ def main():
         "batch": B,
         "platform": platform,
         "kv_cache": gcfg.cache_dtype,
+        "decode_weights": gcfg.decode_weight_dtype,
         "stage_seconds": {"tokenize": round(t_tok, 4),
                           "gpt_decode": round(t_gen, 4),
                           "vq_decode+vocoder": round(t_dec, 4)},

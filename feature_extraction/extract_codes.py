@@ -49,6 +49,11 @@ def main():
 
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
+    # Offline tokenization is the reference-parity gate
+    # (extract_codes.py:48-50 runs in f32): full-precision MXU passes keep
+    # TPU code indices matching the CPU/reference path (default bf16 passes
+    # flip indices near codebook decision boundaries — PARITY_CODES.json).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
     from melspec_gpt_vqvae_tpu.data.transforms import center_crop

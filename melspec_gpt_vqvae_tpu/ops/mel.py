@@ -197,7 +197,8 @@ def waveform_to_mel(wav: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarr
     basis = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
                                        cfg.fmin, cfg.fmax))
     mel = jnp.einsum("mf,...ft->...mt", basis, spec,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return mel_forward_chain(mel, cfg)
 
 

@@ -52,19 +52,26 @@ def _dft_mel_bases(cfg: MelConfig):
 
 
 def _mel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, cfg):
+    # HIGHEST: the default bf16 MXU passes shift mel values enough to flip
+    # downstream VQ code indices (measured: 70% TPU-vs-CPU code match with
+    # default precision vs ~99% with HIGHEST — see PARITY_CODES.json)
+    hi = jax.lax.Precision.HIGHEST
     frames = frames_ref[...]                               # (BT, n_fft)
     re = jax.lax.dot_general(frames, cos_ref[...],
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=hi)
     im = jax.lax.dot_general(frames, sin_ref[...],
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=hi)
     mag = jnp.sqrt(re * re + im * im)                      # (BT, F)
     if cfg.spec_power != 1.0:
         mag = mag ** cfg.spec_power
     mel = jax.lax.dot_general(mag, mel_ref[...],
                               (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
     # scalar chain (reference: extract_mel_spectrogram.py:141-151)
     x = jnp.maximum(cfg.lower_thresh, mel)
     x = jnp.log10(x) * cfg.multiply - cfg.subtract + cfg.add
