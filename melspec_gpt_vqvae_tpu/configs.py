@@ -45,6 +45,11 @@ class GPTConfig:
     cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)
+    decode_weight_dtype: str = "auto"  # "int8" streams absmax-quantised
+                                  # block weights in AR decode (weights are
+                                  # the other half of the decode read floor
+                                  # at large batch); activations quantise
+                                  # per-row so the MXU int8 path applies
     mixed_precision: bool = False  # bf16 matmuls with f32 accumulation and
                                    # f32 residual stream (training speedup;
                                    # params stay in `dtype`)

@@ -344,8 +344,36 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
     return x @ params["head"]["w"], cache
 
 
+def quantize_block_weights(blocks: Dict) -> Dict:
+    """Per-output-channel absmax int8 quantisation of the four block matmul
+    weights, for decode-time weight streaming (halves the weight bytes read
+    from HBM per token; the MXU runs the int8 path at 2x bf16 throughput).
+    """
+    def q(w):                                       # (L, in, out)
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)   # (L, out)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32)
+                                / scale[:, None, :]), -127, 127)
+        return {"q": wq.astype(jnp.int8), "s": scale}
+    return {name: q(blocks[name]["w"])
+            for name in ("attn_qkv", "attn_proj", "mlp_up", "mlp_down")}
+
+
+def _int8_mm(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
+    """x (B, in) @ int8 weights (in, out) with per-row activation absmax
+    quantisation; accumulates int32 on the MXU, rescales to f32."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)        # (B,)
+    xs = jnp.maximum(ax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs[:, None]),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs[:, None] * ws[None, :]
+
+
 def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
-                    token: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+                    token: jnp.ndarray,
+                    wq: Optional[Dict] = None) -> Tuple[jnp.ndarray, Dict]:
     """One cached decode step.  token: (B,) int -> (logits (B, out), cache).
 
     The stacked (L, B, T, H, hd) caches thread through a ``fori_loop``
@@ -372,9 +400,19 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
             x, k_cache, v_cache, k_sc, v_sc = carry
         else:
             x, k_cache, v_cache = carry
-        p, l = xs          # weights streamed by scan; cache stays in carry
+        if wq is None:
+            p, l = xs      # weights streamed by scan; cache stays in carry
+
+            def mm(a, name):
+                return a @ p[name]["w"] + p[name]["b"]
+        else:
+            p, pw, l = xs  # int8 weights streamed; f32/bf16 w's unread (DCE)
+
+            def mm(a, name):
+                out = _int8_mm(a, pw[name]["q"], pw[name]["s"])
+                return out.astype(a.dtype) + p[name]["b"]
         h = _layer_norm(x, p["ln1_s"], p["ln1_b"])
-        qkv = h @ p["attn_qkv"]["w"] + p["attn_qkv"]["b"]  # (B, 3D)
+        qkv = mm(h, "attn_qkv")                            # (B, 3D)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(b, cfg.n_head, cfg.head_dim)
         kh = k.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
@@ -419,28 +457,26 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("bht,bthd->bhd", probs.astype(v_l.dtype), v_l,
                            preferred_element_type=jnp.float32).astype(x.dtype)
-        y = o.reshape(b, cfg.n_embd) @ p["attn_proj"]["w"] \
-            + p["attn_proj"]["b"]
+        y = mm(o.reshape(b, cfg.n_embd), "attn_proj")
         x = x + y
         h2 = _layer_norm(x, p["ln2_s"], p["ln2_b"])
-        m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
-                        approximate=False) @ p["mlp_down"]["w"] \
-            + p["mlp_down"]["b"]
+        m = mm(jax.nn.gelu(mm(h2, "mlp_up"), approximate=False),
+               "mlp_down")
         if int8_cache:
             return (x + m, k_cache, v_cache, k_sc, v_sc), None
         return (x + m, k_cache, v_cache), None
 
+    xs_in = ((blocks, jnp.arange(cfg.n_layer)) if wq is None
+             else (blocks, wq, jnp.arange(cfg.n_layer)))
     if int8_cache:
         (x, ks, vs, kss, vss), _ = jax.lax.scan(
             body, (x, cache["k"], cache["v"], cache["k_scale"],
-                   cache["v_scale"]),
-            (blocks, jnp.arange(cfg.n_layer)))
+                   cache["v_scale"]), xs_in)
         cache = {"k": ks, "v": vs, "k_scale": kss, "v_scale": vss,
                  "len": pos + 1}
     else:
         (x, ks, vs), _ = jax.lax.scan(
-            body, (x, cache["k"], cache["v"]),
-            (blocks, jnp.arange(cfg.n_layer)))
+            body, (x, cache["k"], cache["v"]), xs_in)
         cache = {"k": ks, "v": vs, "len": pos + 1}
     x = _layer_norm(x, params["ln_f_s"], params["ln_f_b"])
     return x @ params["head"]["w"], cache
@@ -501,12 +537,16 @@ def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
     cache = init_kv_cache(cfg, b, max_len=caps[0])
     logits, cache = gpt_prefill(params, cfg, cache, given, cond_emb,
                                 use_pallas=use_pallas)
+    # int8 weight streaming: quantise once per generate call (one weight
+    # pass, amortised over `steps` cached decode steps)
+    wq = (quantize_block_weights(params["blocks"])
+          if cfg.decode_weight_dtype == "int8" else None)
 
     def step(carry, k):
         logits, cache = carry
         tok = sample_logits(k, logits, temperature=temperature,
                             top_k=top_k, sample=sample)
-        logits, cache = gpt_decode_step(params, cfg, cache, tok)
+        logits, cache = gpt_decode_step(params, cfg, cache, tok, wq)
         return (logits, cache), tok
 
     all_toks = []

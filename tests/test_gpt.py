@@ -241,6 +241,35 @@ def test_int8_kv_cache_generation_close_to_fp():
     assert agree >= 0.8, agree
 
 
+def test_int8_weight_decode_close_to_fp():
+    """int8 weight streaming in decode: quantised matmul is accurate and
+    greedy generation mostly agrees with the fp-weight path."""
+    from melspec_gpt_vqvae_tpu.models.gpt import (_int8_mm,
+                                                  quantize_block_weights)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, 32, 48)) * 0.05, jnp.float32)
+    wq = quantize_block_weights({"attn_qkv": {"w": w}, "attn_proj": {"w": w},
+                                 "mlp_up": {"w": w}, "mlp_down": {"w": w}})
+    got = _int8_mm(x, wq["mlp_up"]["q"][0], wq["mlp_up"]["s"][0])
+    ref = np.asarray(x) @ np.asarray(w[0])
+    rel = np.abs(np.asarray(got) - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+    cfg_q = TINY.replace(class_size=4, decode_weight_dtype="int8")
+    cfg_fp = TINY.replace(class_size=4)
+    p = _params(cfg_q)
+    cond = G.class_embed(p, jnp.asarray([[1], [3]]))
+    t_q = G.gpt_generate(p, cfg_q, jax.random.PRNGKey(0), cond, None,
+                         steps=10, sample=False, use_pallas=False)
+    t_fp = G.gpt_generate(p, cfg_fp, jax.random.PRNGKey(0), cond, None,
+                          steps=10, sample=False, use_pallas=False)
+    assert t_q.shape == (2, 10)
+    agree = float((np.asarray(t_q) == np.asarray(t_fp)).mean())
+    assert agree >= 0.8, agree
+
+
 def test_segmented_generation_matches_single_segment():
     """Chunked-cache decode is numerically identical to the one-shot path."""
     cfg = TINY.replace(class_size=4)
