@@ -44,13 +44,13 @@ def main():
     from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
     from melspec_gpt_vqvae_tpu.ops.mel_pallas import waveform_to_mel_pallas
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
 
     exp = load_preset("GPT", "vas")
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1" and on_tpu
-    int8_w = os.environ.get("BENCH_INT8_W", "0") == "1" and on_tpu
+    int8_w = os.environ.get("BENCH_INT8_W", "1") == "1" and on_tpu
     gcfg = exp.model.replace(
         dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="int8" if int8_kv else "auto",
@@ -118,11 +118,20 @@ def main():
     _tok = jax.jit(tokenize)
     _gen = jax.jit(generate)
     _det = jax.jit(detokenize)
-    tokenize_j = lambda wav: _tok(vq_params, wav)
     generate_j = lambda c, key: _gen(gpt_params, c, key)
+    # chunking bounds conv-stack activation memory so the GPT decode batch
+    # (the stage that gains from batch amortisation) can grow past it
+    tok_chunk = int(os.environ.get("BENCH_TOK_CHUNK", "128"))
+
+    def tokenize_j(wav):
+        if not tok_chunk or wav.shape[0] <= tok_chunk:
+            return _tok(vq_params, wav)
+        return jnp.concatenate(
+            [_tok(vq_params, wav[i:i + tok_chunk])
+             for i in range(0, wav.shape[0], tok_chunk)], axis=0)
     # chunked detokenize bounds VQ-decoder/vocoder activation memory so
     # B can exceed 128 (decode throughput rises with batch)
-    detok_chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "0"))
+    detok_chunk = int(os.environ.get("BENCH_DETOK_CHUNK", "128"))
 
     def detokenize_j(toks):
         if not detok_chunk or toks.shape[0] <= detok_chunk:
@@ -146,26 +155,32 @@ def main():
         out = detokenize_j(gen)
         return toks, gen, out
 
+    def sync(x):
+        """Force completion via a dependent scalar device_get —
+        block_until_ready can return early through the remote-TPU tunnel
+        (measured: 0.18s 'decode' vs a 0.46s bandwidth roof)."""
+        return float(jnp.sum(x[..., :1].astype(jnp.float32)))
+
     # warmup / compile
     t0 = time.time()
     toks, gen, out = pipeline(k4)
-    jax.block_until_ready(out)
+    sync(out)
     compile_s = time.time() - t0
 
     iters = 3 if on_tpu else 1
     t0 = time.time()
     for i in range(iters):
         toks, gen, out = pipeline(jax.random.fold_in(k4, i))
-    jax.block_until_ready(out)
+    sync(out)
     total = (time.time() - t0) / iters
 
     # stage timings
     def timeit(fn, *a):
-        jax.block_until_ready(fn(*a))
+        sync(fn(*a))
         t = time.time()
         for i in range(iters):
             r = fn(*a)
-        jax.block_until_ready(r)
+        sync(r)
         return (time.time() - t) / iters
 
     t_tok = timeit(tokenize_j, wav)

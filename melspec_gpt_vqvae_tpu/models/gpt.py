@@ -436,7 +436,10 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         if int8_cache:
             # scales are per (b, t, h): fold k's into the scores and v's
             # into the probabilities — the int8 arrays are what stream
-            # from HBM; the dequant fuses on-chip
+            # from HBM; the dequant fuses on-chip.  (An int8-MXU variant
+            # quantising q and probs measured NO faster at B=512 —
+            # 2.56s vs 2.52s decode — so the simpler f32-einsum dequant
+            # stays; see BENCH_NOTES.md.)
             k_s = jax.lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
             v_s = jax.lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
             scores = jnp.einsum("bhd,bthd->bht", qh.astype(jnp.float32),
