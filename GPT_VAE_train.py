@@ -117,7 +117,9 @@ def main(args):
 
     from melspec_gpt_vqvae_tpu.configs import VAEConfig, load_preset
     from melspec_gpt_vqvae_tpu.data import DataModule
-    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+    from melspec_gpt_vqvae_tpu.parallel import (make_mesh,
+                                            maybe_init_distributed)
+    maybe_init_distributed()
     from melspec_gpt_vqvae_tpu.training import runner
     from melspec_gpt_vqvae_tpu.training.callbacks import (
         FrozenDecoders, VAETextLogger, metrics_epoch_end)
@@ -272,7 +274,9 @@ def run_lstm(args):
 
     from melspec_gpt_vqvae_tpu.configs import VAEConfig, load_lstm_preset
     from melspec_gpt_vqvae_tpu.data import DataModule
-    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+    from melspec_gpt_vqvae_tpu.parallel import (make_mesh,
+                                            maybe_init_distributed)
+    maybe_init_distributed()
     from melspec_gpt_vqvae_tpu.training import runner
     from melspec_gpt_vqvae_tpu.training.callbacks import (LSTMTextLogger,
                                                           metrics_epoch_end)

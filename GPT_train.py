@@ -67,7 +67,9 @@ def main(args):
 
     from melspec_gpt_vqvae_tpu.configs import load_preset
     from melspec_gpt_vqvae_tpu.data import DataModule
-    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+    from melspec_gpt_vqvae_tpu.parallel import (make_mesh,
+                                            maybe_init_distributed)
+    maybe_init_distributed()
     from melspec_gpt_vqvae_tpu.training.callbacks import (FrozenDecoders,
                                                           GPTImageLogger)
     from melspec_gpt_vqvae_tpu.training.checkpoint import CheckpointManager

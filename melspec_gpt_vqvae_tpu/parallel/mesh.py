@@ -31,6 +31,22 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_init_distributed() -> bool:
+    """Initialise ``jax.distributed`` when a coordinator is configured —
+    the reference's multi-node DDP path (``--num_nodes``,
+    /root/reference/GPT_VAE_train.py:166-182).  No-op on single-host runs
+    and when already initialised.  Returns True if a multi-process runtime
+    is active after the call."""
+    import os
+    if jax.process_count() > 1:
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    return False
+
+
 def make_mesh(shape: Optional[Dict[str, int]] = None,
               devices=None) -> Mesh:
     """Create a mesh.  Default: all devices on the ``data`` axis.
