@@ -128,3 +128,30 @@ def test_vq_straight_through_matches_torch():
     np.testing.assert_allclose(float(loss_j), loss_t, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(quant_j), quant_t.numpy(),
                                atol=1e-6)  # forward value of straight-through
+
+
+def test_lstm_cell_matches_torch():
+    """Fused-gate LSTM scan vs torch.nn.LSTM from the same weights (gate
+    order i,f,g,o; b = bias_ih + bias_hh) — guards LSTM-VAE checkpoint
+    conversion fidelity (reference encoders: modules/encoders/enc_lstm.py)."""
+    from melspec_gpt_vqvae_tpu.models.lstm_vae import lstm_run
+
+    ni, nh, B, T = 6, 10, 3, 5
+    rng = np.random.default_rng(0)
+    tl = torch.nn.LSTM(ni, nh, num_layers=1, batch_first=True)
+    x = rng.standard_normal((B, T, ni)).astype(np.float32)
+    with torch.no_grad():
+        out_t, (h_t, c_t) = tl(torch.from_numpy(x))
+
+    p = {"wx": jnp.asarray(tl.weight_ih_l0.detach().numpy().T),
+         "wh": jnp.asarray(tl.weight_hh_l0.detach().numpy().T),
+         "b": jnp.asarray((tl.bias_ih_l0 + tl.bias_hh_l0).detach().numpy())}
+    h0 = jnp.zeros((B, nh))
+    out_j, (h_j, c_j) = lstm_run(p, jnp.asarray(x), h0, h0)
+
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_j), h_t[0].numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_j), c_t[0].numpy(),
+                               rtol=1e-5, atol=1e-5)
