@@ -263,16 +263,20 @@ def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def init_kv_cache(cfg: GPTConfig, batch: int, max_len: Optional[int] = None,
                   dtype=None) -> Dict[str, jnp.ndarray]:
     max_len = max_len or cfg.block_size
-    shape = (cfg.n_layer, batch, max_len, cfg.n_head, cfg.head_dim)
+    # (L, B, H, T, hd): head-major so the decode attention contraction
+    # reads each (b, h) row contiguously over (T, hd)
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
     if cfg.cache_dtype == "int8":
-        # absmax-quantised cache: int8 values + f32 scale per
+        # absmax-quantised cache: int8 values + bf16 scale per
         # (layer, batch, position, head) — halves the cache reads that
-        # dominate AR decode on TPU
-        sshape = (cfg.n_layer, batch, max_len, cfg.n_head)
+        # dominate AR decode on TPU (bf16 scales: f32 ones were 25% of the
+        # streamed bytes at hd=64; the ~0.4% scale rounding is invisible
+        # next to the int8 value quantisation)
+        sshape = (cfg.n_layer, batch, cfg.n_head, max_len)
         return {"k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros(sshape, jnp.float32),
-                "v_scale": jnp.zeros(sshape, jnp.float32),
+                "k_scale": jnp.zeros(sshape, jnp.bfloat16),
+                "v_scale": jnp.zeros(sshape, jnp.bfloat16),
                 "len": jnp.zeros((), jnp.int32)}
     dtype = dtype or cfg.dtype
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
@@ -317,8 +321,8 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
         m = jax.nn.gelu(h2 @ p["mlp_up"]["w"] + p["mlp_up"]["b"],
                         approximate=False) @ p["mlp_down"]["w"] \
             + p["mlp_down"]["b"]
-        # cache layout (B, T, H, hd)
-        return x + m, (kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3))
+        # cache layout (B, H, T, hd) — kh/vh are already head-major
+        return x + m, (kh, vh)
 
     x, (ks, vs) = jax.lax.scan(body, x, params["blocks"])
     cache = dict(cache)
@@ -330,9 +334,11 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
         cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,
                                                   (0, 0, 0, 0, 0))
         cache["k_scale"] = jax.lax.dynamic_update_slice(
-            cache["k_scale"], ks_s, (0, 0, 0, 0))
+            cache["k_scale"], ks_s.astype(cache["k_scale"].dtype),
+            (0, 0, 0, 0))
         cache["v_scale"] = jax.lax.dynamic_update_slice(
-            cache["v_scale"], vs_s, (0, 0, 0, 0))
+            cache["v_scale"], vs_s.astype(cache["v_scale"].dtype),
+            (0, 0, 0, 0))
     else:
         cache["k"] = jax.lax.dynamic_update_slice(
             cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
@@ -376,8 +382,8 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
                     wq: Optional[Dict] = None) -> Tuple[jnp.ndarray, Dict]:
     """One cached decode step.  token: (B,) int -> (logits (B, out), cache).
 
-    The stacked (L, B, T, H, hd) caches thread through a ``fori_loop``
-    carry and each layer writes only its (1, B, 1, H, hd) slot with
+    The stacked (L, B, H, T, hd) caches thread through a ``fori_loop``
+    carry and each layer writes only its (1, B, H, 1, hd) slot with
     ``dynamic_update_slice`` — XLA updates carry buffers in place, where a
     scan-over-layers with the cache in xs/ys rewrote the full cache every
     step.  What remains is the speed-of-light regime for AR decode:
@@ -387,7 +393,7 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     x = jnp.take(params["tok_emb"], token, axis=0)        # (B, D)
     x = x + jax.lax.dynamic_index_in_dim(params["pos_emb"], pos, 0,
                                          keepdims=False)
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     valid = (jnp.arange(max_len) <= pos)[None, None, :]   # (1, 1, T)
     b = x.shape[0]
     blocks = params["blocks"]
@@ -415,22 +421,24 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         qkv = mm(h, "attn_qkv")                            # (B, 3D)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(b, cfg.n_head, cfg.head_dim)
-        kh = k.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
-        vh = v.reshape(1, b, 1, cfg.n_head, cfg.head_dim)
+        kh = k.reshape(1, b, cfg.n_head, 1, cfg.head_dim)
+        vh = v.reshape(1, b, cfg.n_head, 1, cfg.head_dim)
         if int8_cache:
             kq, ks_s = _quantize_kv(kh)
             vq, vs_s = _quantize_kv(vh)
             k_cache = jax.lax.dynamic_update_slice(k_cache, kq,
-                                                   (l, 0, pos, 0, 0))
+                                                   (l, 0, 0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, vq,
-                                                   (l, 0, pos, 0, 0))
-            k_sc = jax.lax.dynamic_update_slice(k_sc, ks_s, (l, 0, pos, 0))
-            v_sc = jax.lax.dynamic_update_slice(v_sc, vs_s, (l, 0, pos, 0))
+                                                   (l, 0, 0, pos, 0))
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, ks_s.astype(k_sc.dtype), (l, 0, 0, pos))
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, vs_s.astype(v_sc.dtype), (l, 0, 0, pos))
         else:
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, kh.astype(k_cache.dtype), (l, 0, pos, 0, 0))
+                k_cache, kh.astype(k_cache.dtype), (l, 0, 0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, vh.astype(v_cache.dtype), (l, 0, pos, 0, 0))
+                v_cache, vh.astype(v_cache.dtype), (l, 0, 0, pos, 0))
         k_l = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
         v_l = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
         if int8_cache:
@@ -442,23 +450,23 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
             # stays; see BENCH_NOTES.md.)
             k_s = jax.lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
             v_s = jax.lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
-            scores = jnp.einsum("bhd,bthd->bht", qh.astype(jnp.float32),
+            scores = jnp.einsum("bhd,bhtd->bht", qh.astype(jnp.float32),
                                 k_l.astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
-            scores = scores * jnp.swapaxes(k_s, 1, 2) * scale
+            scores = scores * k_s.astype(jnp.float32) * scale
             scores = jnp.where(valid, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
-            o = jnp.einsum("bht,bthd->bhd",
-                           probs * jnp.swapaxes(v_s, 1, 2),
+            o = jnp.einsum("bht,bhtd->bhd",
+                           probs * v_s.astype(jnp.float32),
                            v_l.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
             o = o.astype(x.dtype)
         else:
-            scores = jnp.einsum("bhd,bthd->bht", qh, k_l,
+            scores = jnp.einsum("bhd,bhtd->bht", qh, k_l,
                                 preferred_element_type=jnp.float32) * scale
             scores = jnp.where(valid, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
-            o = jnp.einsum("bht,bthd->bhd", probs.astype(v_l.dtype), v_l,
+            o = jnp.einsum("bht,bhtd->bhd", probs.astype(v_l.dtype), v_l,
                            preferred_element_type=jnp.float32).astype(x.dtype)
         y = mm(o.reshape(b, cfg.n_embd), "attn_proj")
         x = x + y
@@ -488,14 +496,14 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
 def _grow_cache(cache: Dict, new_len: int) -> Dict:
     """Pad the cache's position axis to ``new_len`` (segmented decode)."""
     out = dict(cache)
-    cur = cache["k"].shape[2]
+    cur = cache["k"].shape[3]
     if new_len <= cur:
         return out
-    pad5 = ((0, 0), (0, 0), (0, new_len - cur), (0, 0), (0, 0))
+    pad5 = ((0, 0), (0, 0), (0, 0), (0, new_len - cur), (0, 0))
     out["k"] = jnp.pad(cache["k"], pad5)
     out["v"] = jnp.pad(cache["v"], pad5)
     if "k_scale" in cache:
-        pad4 = ((0, 0), (0, 0), (0, new_len - cur), (0, 0))
+        pad4 = ((0, 0), (0, 0), (0, 0), (0, new_len - cur))
         out["k_scale"] = jnp.pad(cache["k_scale"], pad4)
         out["v_scale"] = jnp.pad(cache["v_scale"], pad4)
     return out
