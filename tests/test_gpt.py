@@ -305,3 +305,31 @@ def test_mixed_precision_close_to_f32():
         G.gpt_apply(q, cfg_mp, x, use_pallas=False)[0] ** 2))(p)
     gn = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_decode_attention_kernel_matches_xla():
+    """Experimental fused decode-attention kernel (interpret mode) == its
+    XLA reference over a depth-major int8 cache (ops/decode_attention.py).
+    The kernel measured SLOWER than the production t-major XLA decode path
+    and is not wired into gpt_decode_step — see the negative result in
+    BENCH_NOTES.md; this test keeps the op correct as documented."""
+    from melspec_gpt_vqvae_tpu.ops.decode_attention import (
+        decode_attend_int8, decode_attend_int8_xla)
+
+    rng = np.random.default_rng(5)
+    L, B, H, hd, T = 3, 4, 2, 8, 13
+    q = jnp.asarray(rng.standard_normal((B, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.integers(-127, 128, (L, H, B, hd, T)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (L, H, B, hd, T)), jnp.int8)
+    ks = jnp.asarray(0.01 + rng.random((L, H, B, T)), jnp.float32)
+    vs = jnp.asarray(0.01 + rng.random((L, H, B, T)), jnp.float32)
+    for layer in (0, 2):
+        for pos in (0, 5, T - 1):
+            got = decode_attend_int8(q, k, v, ks, vs,
+                                     jnp.asarray(layer), jnp.asarray(pos),
+                                     interpret=True)
+            ref = decode_attend_int8_xla(q, k, v, ks, vs,
+                                         jnp.asarray(layer),
+                                         jnp.asarray(pos))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
