@@ -84,6 +84,10 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="checkpoint every N epochs (+ final); 0 = "
+                             "final only, -1 = never — for slow-d2h "
+                             "links (remote tunnel)")
     parser.add_argument("--param_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 + --opt adafactor fits the 2.09B "
@@ -208,7 +212,8 @@ def main(args):
                        media_cb=media_cb, epoch_end_cb=epoch_cb,
                        resume=args.resume,
                        limit_train_batches=args.limit_train_batches or None,
-                       limit_val_batches=args.limit_val_batches or None)
+                       limit_val_batches=args.limit_val_batches or None,
+                       ckpt_every=args.ckpt_every)
     if args.eval == 1:
         runner.evaluate_vae(task, dm, split="val", ckpt=ckpt,
                             resume=args.resume, compute_mi_au=True,
@@ -328,7 +333,8 @@ def run_lstm(args):
                        media_cb=media_cb, epoch_end_cb=epoch_cb,
                        resume=args.resume,
                        limit_train_batches=args.limit_train_batches or None,
-                       limit_val_batches=args.limit_val_batches or None)
+                       limit_val_batches=args.limit_val_batches or None,
+                       ckpt_every=args.ckpt_every)
     if args.eval == 1:
         runner.evaluate_vae(task, dm, split="val", ckpt=ckpt,
                             resume=args.resume, compute_mi_au=True,

@@ -38,6 +38,10 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="checkpoint every N epochs (+ final); 0 = "
+                             "final only, -1 = never — for slow-d2h "
+                             "links (remote tunnel)")
     parser.add_argument("--prng", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="rbg = TPU hardware RNG: 4.3x faster VAE train "
@@ -125,7 +129,8 @@ def main(args):
                        logging_frequency=args.logging_frequency,
                        media_cb=media_cb, resume=args.resume,
                        limit_train_batches=args.limit_train_batches or None,
-                       limit_val_batches=args.limit_val_batches or None)
+                       limit_val_batches=args.limit_val_batches or None,
+                       ckpt_every=args.ckpt_every)
     if args.eval == 1:
         runner.validate_gpt(task, dm, ckpt=ckpt, resume=args.resume,
                             limit_val_batches=args.limit_val_batches or None)

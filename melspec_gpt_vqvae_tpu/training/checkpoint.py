@@ -18,10 +18,14 @@ import json
 import os
 import shutil
 import threading
+import time
 from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+from ..parallel.mesh import is_primary
+from ..utils.transfer import chunked_device_get
 
 
 class CheckpointManager:
@@ -60,8 +64,21 @@ class CheckpointManager:
         """Always writes ``last``; snapshots ``best`` when ``metric``
         improves (mode=min, like the reference's monitor).  ``state`` may
         hold live jax arrays; they are safe to donate once this returns
-        (orbax copies device->host before going async)."""
+        (the snapshot lands on the host before going async).
+
+        The snapshot is an explicit ``chunked_device_get``: letting orbax
+        pull straight from device arrays measured ~2.4 MB/s through the
+        remote-TPU tunnel (a silent ~25 min stall per epoch for the 300M
+        VAS GPT, caught by a verify drive); the chunked fetch sustains
+        ~2-4x that, and the remaining cost is printed so slow links are
+        visible instead of looking like a hang."""
         self.wait()   # previous epoch's write must be durable first
+        t0 = time.time()
+        state = chunked_device_get(state)
+        d2h_s = time.time() - t0
+        if d2h_s > 5.0 and is_primary():
+            print(f"checkpoint: device->host snapshot {d2h_s:.1f}s "
+                  f"(slow link; disk write continues async)")
         last = os.path.join(self.dirpath, "last")
         self._ckptr.save(last, state, force=True)
         self.meta["last_step"] = int(step)

@@ -40,13 +40,28 @@ def _global_mean(local_sum: float, local_count: float) -> float:
     return r["sum"] / r["count"] if r["count"] else float("nan")
 
 
+def _should_save(epoch: int, epochs: int, ckpt_every: int) -> bool:
+    """Per-epoch checkpointing like the reference ModelCheckpoint by
+    default (ckpt_every=1); ``ckpt_every=N`` saves every Nth epoch plus
+    the final one, ``ckpt_every=0`` only the final one, ``-1`` never —
+    for environments where the device->host snapshot is expensive
+    (remote-TPU tunnel: bursts ~10-34 MB/s but sustained ~2 MB/s; see
+    training/checkpoint.py + BENCH_NOTES.md)."""
+    if ckpt_every < 0:
+        return False
+    if epoch == epochs - 1:
+        return True
+    return ckpt_every > 0 and (epoch + 1) % ckpt_every == 0
+
+
 def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
             ckpt: CheckpointManager, seed: int = 783435,
             logging_frequency: int = 200,
             media_cb: Optional[Callable] = None,
             resume: Optional[str] = None,
             limit_train_batches: Optional[int] = None,
-            limit_val_batches: Optional[int] = None):
+            limit_val_batches: Optional[int] = None,
+            ckpt_every: int = 1):
     """Train the class-conditional GPT (reference loop semantics:
     GPT_train.py:124-128 + Lit_minGPT train/val steps)."""
     state = task.init_state(seed)
@@ -112,7 +127,9 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
                   f"val/loss {val_loss:.4f} ({time.time() - t0:.1f}s)")
         # every process enters save (orbax coordinates multi-host writes);
         # the monitored metric is the GLOBAL val loss on all of them
-        ckpt.save({"state": state, "epoch": epoch}, step, metric=val_loss)
+        if _should_save(epoch, epochs, ckpt_every):
+            ckpt.save({"state": state, "epoch": epoch}, step,
+                      metric=val_loss)
     ckpt.wait()   # async save must be durable before the fit returns
     return state
 
@@ -144,7 +161,8 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             epoch_end_cb: Optional[Callable] = None,
             resume: Optional[str] = None,
             limit_train_batches: Optional[int] = None,
-            limit_val_batches: Optional[int] = None):
+            limit_val_batches: Optional[int] = None,
+            ckpt_every: int = 1):
     """Train the GPT-VAE (reference: GPT_VAE_train.py:186-190 +
     Lit_GPT_VAE train/val/epoch-end machinery).  The checkpoint carries
     kl_weight inside the state plus best_loss/pre_mi extras
@@ -212,8 +230,9 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
                   f" ({time.time() - t0:.1f}s)")
         if agg and agg["loss"] < extras["best_loss"]:
             extras["best_loss"] = agg["loss"]
-        ckpt.save({"state": state, "epoch": epoch, "extras": extras},
-                  step, metric=agg.get("loss"))
+        if _should_save(epoch, epochs, ckpt_every):
+            ckpt.save({"state": state, "epoch": epoch, "extras": extras},
+                      step, metric=agg.get("loss"))
         if epoch_end_cb:
             epoch_end_cb(state, epoch, agg, extras)
     ckpt.wait()   # async save must be durable before the fit returns
