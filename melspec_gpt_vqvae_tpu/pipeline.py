@@ -1,0 +1,143 @@
+"""Batched generation (serving) pipeline: class-conditional GPT sampling
+-> VQ-VAE decode -> MelGAN vocoder -> waveforms.
+
+This is the standalone-serving form of the flow the reference only
+exercises inside its training-time logging callbacks
+(/root/reference/transformer/minGPT.py:530-612 ``log_images`` ->
+``sample`` -> ``decode_to_img``; vocoding in
+callbacks/GPT_callbacks.py:93-111).  The TPU-native differences that make
+it a production path rather than a logging hook:
+
+  * KV-cached segmented decode (``gpt_generate``) instead of 265 full
+    forwards per clip (minGPT.py:331-358);
+  * one jitted program per stage, re-used across arbitrarily many batches
+    (weights are jit *arguments*, so nothing recompiles per call);
+  * conv stages chunked so their activation memory does not cap the GPT
+    decode batch (decode throughput rises with batch; BENCH_NOTES.md);
+  * bf16 conv stacks on TPU with the VQ codebook lookup precision pinned
+    where it matters (ops/vq.py).
+
+Used by ``sample.py`` (CLI) and mirrored by ``bench.py`` (which adds the
+mel->encode tokenize stage to measure the full round trip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import ExperimentConfig
+from .models.gpt import class_embed, gpt_generate
+from .models.vocoder import MelGANGenerator
+from .models.vqvae import VQModel
+
+
+def _chunked(fn, x, chunk: int):
+    if not chunk or x.shape[0] <= chunk:
+        return fn(x)
+    return jnp.concatenate([fn(x[i:i + chunk])
+                            for i in range(0, x.shape[0], chunk)], axis=0)
+
+
+class GenerationPipeline:
+    """Jit-once, call-many generation pipeline.
+
+    Parameters are passed as jit arguments (closing over them would bake
+    hundreds of MB of weights into the compiled programs as constants).
+    """
+
+    def __init__(self, exp: ExperimentConfig, gpt_params, vq_params,
+                 voc_params, *, segments: int = 8, chunk: int = 128,
+                 bf16: Optional[bool] = None, use_pallas=None):
+        self.exp = exp
+        self.gcfg = exp.model
+        self.vcfg = exp.vqvae
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if bf16 is None:
+            bf16 = on_tpu
+        if bf16:
+            to_bf16 = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), t)
+            vq_params = to_bf16(vq_params)
+            voc_params = to_bf16(voc_params)
+        self.gpt_params = gpt_params
+        self.vq_params = vq_params
+        self.voc_params = voc_params
+        self.segments = segments
+        self.chunk = chunk
+        self._bf16 = bf16
+        self._use_pallas = use_pallas
+
+        vq = VQModel(self.vcfg)
+        melgan = MelGANGenerator(exp.vocoder)
+        steps = self.vcfg.code_h * self.vcfg.code_w
+
+        def _generate(gp, cls, key, temperature, top_k, sample):
+            cond = class_embed(gp, cls)
+            return gpt_generate(gp, self.gcfg, key, cond, None,
+                                steps=steps, temperature=temperature,
+                                top_k=top_k, sample=sample,
+                                segments=self.segments,
+                                use_pallas=use_pallas)
+
+        def _decode_spec(vqp, tokens):
+            # GPT order -> (B, code_h, code_w) raster: jnp form of
+            # utils.codes.sequence_to_grid (that helper is host-side numpy;
+            # reference code_reader(reverse=True), minGPT.py:438-456)
+            grid = jnp.swapaxes(
+                tokens.reshape(-1, self.vcfg.code_w, self.vcfg.code_h),
+                1, 2)
+            return vq.apply({"params": vqp}, grid,
+                            method="decode_code")[..., 0]
+
+        def _vocode(vocp, spec):
+            # spec in [-1,1] (dataset scaling, datasets/vas.py:81) ->
+            # [0,1] mel -> waveform
+            mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
+                             0.0, 1.0)
+            if self._bf16:
+                mel01 = mel01.astype(jnp.bfloat16)
+            return melgan.apply({"params": vocp},
+                                jnp.swapaxes(mel01, 1, 2))
+
+        # sample=True/False retrace via static_argnums on the inner jit;
+        # temperature/top_k stay traced where possible (gpt_generate takes
+        # them static, so changing them recompiles — document, don't hide)
+        self._gen = jax.jit(_generate, static_argnames=("temperature",
+                                                        "top_k", "sample"))
+        self._dec = jax.jit(_decode_spec)
+        self._voc = jax.jit(_vocode)
+
+    def generate(self, classes, key, *, temperature: float = 1.0,
+                 top_k: Optional[int] = 100,
+                 sample: bool = True) -> Dict[str, np.ndarray]:
+        """classes: (N,) ints -> dict(tokens (N, S), specs (N, H, W),
+        wavs (N, samples)) as host numpy arrays."""
+        cls = jnp.asarray(classes, jnp.int32)
+        toks = self._gen(self.gpt_params, cls, key, temperature, top_k,
+                         sample)
+        specs = _chunked(functools.partial(self._dec, self.vq_params),
+                         toks, self.chunk)
+        wavs = _chunked(functools.partial(self._voc, self.voc_params),
+                        specs, self.chunk)
+        return {"tokens": np.asarray(toks),
+                "specs": np.asarray(specs, np.float32),
+                "wavs": np.asarray(wavs, np.float32)}
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int = 22050):
+    """PCM16 WAV via the stdlib (soundfile is absent in this image; same
+    approach as TBLogger.audio)."""
+    import wave
+
+    data = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+    pcm = (data * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
