@@ -129,9 +129,10 @@ def make_step(cfg, *, skip_attn=False, skip_mlp=False, skip_update=False,
             return (x, k_cache, v_cache, k_sc, v_sc), None
 
         xs_in = (params["blocks"], wq, jnp.arange(cfg.n_layer))
+        unroll = int(os.environ.get("ABLATE_UNROLL", "1"))
         (x, ks, vs, kss, vss), _ = jax.lax.scan(
             body, (x, cache["k"], cache["v"], cache["k_scale"],
-                   cache["v_scale"]), xs_in)
+                   cache["v_scale"]), xs_in, unroll=unroll)
         cache = {"k": ks, "v": vs, "k_scale": kss, "v_scale": vss,
                  # pin len so repeated timing calls see a constant prefix
                  "len": pos}
