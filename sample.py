@@ -27,7 +27,10 @@ import time
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", type=str, default="vas",
-                   choices=["vas", "vggsound"])
+                   choices=["vas"],
+                   help="class-conditional GPT presets exist for VAS only "
+                        "(the reference ships no config_GPT_vggsound "
+                        "either; VGGSound's flagship is the GPT-VAE)")
     p.add_argument("--experiment", type=str, default=None,
                    help="run name: checkpoint is read from "
                         "lightning_logs/{experiment}-{dataset}/checkpoints")
