@@ -123,7 +123,8 @@ def make_step(cfg, *, skip_attn=False, skip_mlp=False, skip_update=False,
             x = x + y
             if not skip_mlp:
                 h2 = _layer_norm(x, p["ln2_s"], p["ln2_b"])
-                m = mm(jax.nn.gelu(mm(h2, "mlp_up"), approximate=False),
+                approx = os.environ.get("ABLATE_GELU") == "tanh"
+                m = mm(jax.nn.gelu(mm(h2, "mlp_up"), approximate=approx),
                        "mlp_down")
                 x = x + m
             return (x, k_cache, v_cache, k_sc, v_sc), None
