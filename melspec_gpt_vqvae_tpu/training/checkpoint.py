@@ -22,10 +22,11 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from ..parallel.mesh import is_primary
-from ..utils.transfer import chunked_device_get
+from ..utils.transfer import _remote_backend, chunked_device_get
 
 
 class CheckpointManager:
@@ -66,19 +67,25 @@ class CheckpointManager:
         hold live jax arrays; they are safe to donate once this returns
         (the snapshot lands on the host before going async).
 
-        The snapshot is an explicit ``chunked_device_get``: letting orbax
-        pull straight from device arrays measured ~2.4 MB/s through the
-        remote-TPU tunnel (a silent ~25 min stall per epoch for the 300M
-        VAS GPT, caught by a verify drive); the chunked fetch sustains
-        ~2-4x that, and the remaining cost is printed so slow links are
-        visible instead of looking like a hang."""
+        On the remote (``axon``) backend the snapshot is an explicit
+        ``chunked_device_get``: letting orbax pull straight from device
+        arrays measured ~2.4 MB/s through the remote-TPU tunnel (a silent
+        ~25 min stall per epoch for the 300M VAS GPT, caught by a verify
+        drive); the chunked fetch sustains ~2-4x that, and the remaining
+        cost is printed so slow links are visible instead of looking like
+        a hang.  Off that backend the live jax arrays go to orbax
+        directly — ``jax.device_get`` would raise on non-fully-addressable
+        sharded arrays in a multi-process run, and orbax coordinates
+        per-shard multi-host writes itself (its async save still copies
+        to host before returning, so donation stays safe)."""
         self.wait()   # previous epoch's write must be durable first
-        t0 = time.time()
-        state = chunked_device_get(state)
-        d2h_s = time.time() - t0
-        if d2h_s > 5.0 and is_primary():
-            print(f"checkpoint: device->host snapshot {d2h_s:.1f}s "
-                  f"(slow link; disk write continues async)")
+        if _remote_backend():
+            t0 = time.time()
+            state = chunked_device_get(state)
+            d2h_s = time.time() - t0
+            if d2h_s > 5.0 and is_primary():
+                print(f"checkpoint: device->host snapshot {d2h_s:.1f}s "
+                      f"(slow link; disk write continues async)")
         last = os.path.join(self.dirpath, "last")
         self._ckptr.save(last, state, force=True)
         self.meta["last_step"] = int(step)
@@ -90,6 +97,9 @@ class CheckpointManager:
             self.meta["best_step"] = int(step)
             best = os.path.join(self.dirpath, "best")
 
+            # Only the primary copies last->best: every process sees the
+            # same global metric and updates its meta, but concurrent
+            # copytree/os.replace on a shared checkpoint dir would race.
             def _copy_best():
                 self._ckptr.wait_until_finished()
                 tmp = best + ".tmp"
@@ -98,9 +108,12 @@ class CheckpointManager:
                 shutil.rmtree(best, ignore_errors=True)
                 os.replace(tmp, best)
 
-            self._pending = threading.Thread(target=_copy_best, daemon=True)
-            self._pending.start()
-        self._write_meta()
+            if is_primary():
+                self._pending = threading.Thread(target=_copy_best,
+                                                 daemon=True)
+                self._pending.start()
+        if is_primary():
+            self._write_meta()
 
     def restore(self, which: str = "last",
                 template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
@@ -128,7 +141,16 @@ class CheckpointManager:
                         path = cand
                         break
         if template is not None:
-            return self._ckptr.restore(path, item=template)
+            # Checkpoints written off the remote backend hold live jax
+            # arrays; ask orbax for host numpy explicitly (a bare numpy
+            # template would otherwise demand a concrete jax sharding at
+            # deserialization).  Every process restores a full host copy.
+            restore_args = jax.tree_util.tree_map(
+                lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
+                if hasattr(x, "shape") and hasattr(x, "dtype")
+                else ocp.RestoreArgs(), template)
+            return self._ckptr.restore(path, item=template,
+                                       restore_args=restore_args)
         return self._ckptr.restore(path)
 
     @staticmethod

@@ -25,7 +25,7 @@ import optax
 from ..configs import ExperimentConfig, GPTConfig
 from ..models.gpt import (class_embed, cross_entropy_loss, gpt_apply,
                           gpt_attention_maps, gpt_generate, init_gpt_params)
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import make_mesh, put_batch, replicated
 from .optim import gpt_adamw
 
 TrainState = Dict[str, Any]
@@ -64,11 +64,15 @@ class GPTTask:
                                    exp.train.weight_decay, exp.train.betas)
 
         cfg, opt = self.cfg, self.optimizer
+        # In the differentiated loss, "auto" (None) resolves to the XLA
+        # path: the fused Pallas attention is inference-only (no VJP).  An
+        # explicit use_pallas=True is honored as requested.
+        train_pallas = bool(use_pallas) if use_pallas is not None else False
 
         def train_step(state, x, c, rng):
             def loss(p):
                 return gpt_loss_fn(p, cfg, x, c, rng, train=True,
-                                   use_pallas=False)
+                                   use_pallas=train_pallas)
             l, g = jax.value_and_grad(loss)(state["params"])
             updates, opt_state = opt.update(g, state["opt_state"],
                                             state["params"])
@@ -79,6 +83,7 @@ class GPTTask:
         def eval_step(params, x, c):
             return gpt_loss_fn(params, cfg, x, c, use_pallas=use_pallas)
 
+        self._train_step_fn = train_step   # unjitted (bench_train scans it)
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step = jax.jit(eval_step)
 
@@ -93,9 +98,8 @@ class GPTTask:
     def _shard_batch(self, batch: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = tokens_from_batch(jnp.asarray(batch["codes"]))
         c = jnp.asarray(batch["target"]).reshape(-1)
-        x = jax.device_put(x, batch_sharding(self.mesh, 2))
-        c = jax.device_put(c, batch_sharding(self.mesh, 1))
-        return x, c
+        # local rows -> global batch array (multi-process safe)
+        return put_batch(self.mesh, x), put_batch(self.mesh, c)
 
     def train_step(self, state: TrainState, batch: Dict,
                    rng: jax.Array) -> Tuple[TrainState, float]:

@@ -25,7 +25,7 @@ import optax
 
 from ..configs import ExperimentConfig
 from ..models import gpt_vae as V
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import make_mesh, put_batch, replicated
 from ..parallel.reduce import cross_process_sum
 from .gpt_task import tokens_from_batch
 from .optim import make_optimizer
@@ -54,6 +54,10 @@ class VAETask:
 
         cfgs, opt, anneal = self.cfgs, self.optimizer, self.anneal_rate
         nsamples = vae.nsamples
+        # "auto" (None) resolves to XLA in the differentiated loss — the
+        # fused Pallas attention is inference-only (no VJP); an explicit
+        # use_pallas=True is honored.
+        train_pallas = bool(use_pallas) if use_pallas is not None else False
 
         def train_step(state, x, rng, freeze_encoder):
             if vae.beta == 0:
@@ -64,7 +68,7 @@ class VAETask:
             def loss(p):
                 return V.training_loss(p, cfgs, rng, x, kl_weight,
                                        nsamples=nsamples, train=True,
-                                       use_pallas=False)
+                                       use_pallas=train_pallas)
             (l, aux), g = jax.value_and_grad(loss, has_aux=True)(
                 state["params"])
             # --freeze_epoch: stop updating the encoder after N epochs
@@ -91,6 +95,7 @@ class VAETask:
             return {"loss": jnp.sum(loss), "loss_rc": jnp.sum(rec),
                     "loss_kl": jnp.sum(kl)}
 
+        self._train_step_fn = train_step   # unjitted (bench_train scans it)
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step = jax.jit(eval_step)
 
@@ -105,7 +110,7 @@ class VAETask:
 
     def _shard(self, batch: Dict) -> jnp.ndarray:
         x = tokens_from_batch(jnp.asarray(batch["codes"]))
-        return jax.device_put(x, batch_sharding(self.mesh, 2))
+        return put_batch(self.mesh, x)   # local rows -> global batch
 
     def train_step(self, state, batch, rng, epoch: int = 0):
         x = self._shard(batch)
@@ -168,12 +173,26 @@ class VAETask:
     # research metrics + media paths
     # ------------------------------------------------------------------
 
+    def batch_tokens(self, batch: Dict) -> jnp.ndarray:
+        """(B, 5, 53) codes -> (B, 265) tokens; the per-task token view
+        callers keep instead of whole batches (LSTMTask has its own)."""
+        return tokens_from_batch(jnp.asarray(batch["codes"]))
+
+    def _tokens_iter(self, batches):
+        """Accept loader batches (dicts) or pre-extracted (B, T) token
+        arrays — callers that iterate the loader once keep only the tiny
+        token arrays instead of hoarding full batches (incl. the 80x848
+        ``image`` specs)."""
+        for b in batches:
+            yield self.batch_tokens(b) if isinstance(b, dict) \
+                else jnp.asarray(b)
+
     def calc_mi_au(self, state, batches, key=None):
         """Corpus MI + AU over an eval loader
         (reference: Lit_GPT_VAE.py:395-525)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        xs = (tokens_from_batch(jnp.asarray(b["codes"])) for b in batches)
-        return V.corpus_mi_and_au(state["params"], self.cfgs, key, xs)
+        return V.corpus_mi_and_au(state["params"], self.cfgs, key,
+                                  self._tokens_iter(batches))
 
     def calc_iwnll(self, state, batches, nsamples: int = 500, ns: int = 10,
                    key=None):
@@ -185,8 +204,7 @@ class VAETask:
         fn = jax.jit(lambda p, k, x: V.nll_iw(p, cfgs, k, x,
                                               nsamples=nsamples, ns=ns))
         nll_sum, words, sents = 0.0, 0, 0
-        for b in batches:
-            x = tokens_from_batch(jnp.asarray(b["codes"]))
+        for x in self._tokens_iter(batches):
             key, k = jax.random.split(key)
             nll_sum += float(jnp.sum(fn(state["params"], k, x)))
             words += (x.shape[1] - 1) * x.shape[0]
@@ -214,7 +232,7 @@ class VAETask:
         posteriors (reference audio_interpolation:
         GPT_VAE_callbacks.py:324-386)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, kd = jax.random.split(key, 3)
         mu_f, lv_f = V.encoder_forward(state["params"], self.cfgs, x_from,
                                        use_pallas=self.use_pallas)
         mu_t, lv_t = V.encoder_forward(state["params"], self.cfgs, x_to,
@@ -222,7 +240,10 @@ class VAETask:
         z_from = V.reparameterize(k1, mu_f, lv_f, 1)
         z_to = V.reparameterize(k2, mu_t, lv_t, 1)
         outs = []
-        for v in np.linspace(0.0, 1.0, steps):
+        # per-point keys: invisible under greedy decode, required the day
+        # a stochastic strategy is passed
+        for i, v in enumerate(np.linspace(0.0, 1.0, steps)):
             z = float(v) * z_to + (1.0 - float(v)) * z_from
-            outs.append(self.decode(state, z, "greedy", key=k3))
+            outs.append(self.decode(state, z, "greedy",
+                                    key=jax.random.fold_in(kd, i)))
         return outs

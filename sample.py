@@ -108,6 +108,10 @@ def main():
         run_dir = os.path.join("lightning_logs",
                                f"{args.experiment}-{args.dataset}")
         ckpt_root = os.path.join(run_dir, "checkpoints")
+        if not os.path.isdir(ckpt_root):
+            raise SystemExit(
+                f"no checkpoints dir at {ckpt_root} (wrong --experiment, "
+                f"or the run never saved, e.g. --ckpt_every -1)")
         versions = sorted((d for d in os.listdir(ckpt_root)
                            if d.startswith("version_")),
                           key=lambda d: int(d.split("_")[-1]))
