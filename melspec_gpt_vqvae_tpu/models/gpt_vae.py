@@ -384,11 +384,28 @@ def log_sum_exp(value: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def mi_from_posteriors(key: jax.Array, mu: jnp.ndarray,
-                       logvar: jnp.ndarray) -> jnp.ndarray:
+                       logvar: jnp.ndarray,
+                       chunk: int = 512) -> jnp.ndarray:
     """I(x, z) estimate from a corpus of posterior params
     (reference calc_mi v3: Lit_GPT_VAE.py:395-482, encoders.py:136-170).
 
     mu, logvar: (N, nz) for the whole eval corpus.
+
+    Memory-bounded: the reference streams z-batches against the full
+    posterior list, materialising (B, N, nz) per step
+    (Lit_GPT_VAE.py:424-462).  A direct JAX translation
+    (``z[:, None] - mu[None]``) is an (N, N, nz) tensor — ~2.1 TB at
+    VGGSound scale (19,034² × 1472).  Instead the Mahalanobis quadratic is
+    expanded into matmuls,
+
+        sum_d (z_id - mu_jd)² / var_jd
+            = (z²) @ (1/var)ᵀ - 2 z @ (mu/var)ᵀ + Σ_d mu_jd²/var_jd,
+
+    and ``lax.map`` walks z in chunks of ``chunk`` rows, so peak memory is
+    O(chunk · N) and the FLOPs land on the MXU.  z and mu are re-centered
+    on the corpus posterior mean first (dev is translation-invariant) to
+    keep the expanded terms small; the matmuls run at precision=HIGHEST so
+    the f32 cancellation stays benign on TPU (bf16 passes otherwise).
     """
     n, nz = mu.shape
     neg_entropy = jnp.mean(-0.5 * nz * math.log(2 * math.pi)
@@ -396,12 +413,26 @@ def mi_from_posteriors(key: jax.Array, mu: jnp.ndarray,
     eps = jax.random.normal(key, mu.shape, mu.dtype)
     z = mu + eps * jnp.exp(0.5 * logvar)              # (N, nz), one z per x
     # log q(z_i) = logsumexp_j log N(z_i; mu_j, var_j) - log N
-    dev = z[:, None, :] - mu[None, :, :]              # (N, N, nz)
-    var = jnp.exp(logvar)[None, :, :]
-    log_density = (-0.5 * jnp.sum(dev ** 2 / var, axis=-1)
-                   - 0.5 * (nz * math.log(2 * math.pi)
-                            + jnp.sum(logvar, -1)[None, :]))
-    log_qz = log_sum_exp(log_density, axis=1) - math.log(n)
+    center = jnp.mean(mu, axis=0)
+    zc, muc = z - center, mu - center
+    inv_var = jnp.exp(-logvar)                        # (N, nz)
+    a = inv_var.T                                     # (nz, N)
+    b = (muc * inv_var).T                             # (nz, N)
+    cvec = (jnp.sum(muc ** 2 * inv_var, axis=-1)
+            + nz * math.log(2 * math.pi) + jnp.sum(logvar, axis=-1))  # (N,)
+
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    zp = jnp.pad(zc, ((0, pad), (0, 0)))
+
+    def body(z_chunk):                                # (chunk, nz) -> (chunk,)
+        quad = (jnp.dot(z_chunk ** 2, a, precision=jax.lax.Precision.HIGHEST)
+                - 2.0 * jnp.dot(z_chunk, b,
+                                precision=jax.lax.Precision.HIGHEST))
+        log_density = -0.5 * (quad + cvec[None, :])
+        return log_sum_exp(log_density, axis=1) - math.log(n)
+
+    log_qz = jax.lax.map(body, zp.reshape(-1, chunk, nz)).reshape(-1)[:n]
     return neg_entropy - jnp.mean(log_qz)
 
 

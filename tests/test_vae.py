@@ -159,6 +159,53 @@ def test_mi_on_synthetic_posteriors():
     assert mi2 <= math.log(n) + 0.1
 
 
+def _mi_direct(key, mu, logvar):
+    """Direct (N, N, nz) reference form of the MI estimator, for
+    equivalence-testing the matmul-expanded chunked implementation."""
+    n, nz = mu.shape
+    neg_entropy = jnp.mean(-0.5 * nz * math.log(2 * math.pi)
+                           - 0.5 * jnp.sum(1 + logvar, axis=-1))
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    z = mu + eps * jnp.exp(0.5 * logvar)
+    dev = z[:, None, :] - mu[None, :, :]
+    var = jnp.exp(logvar)[None, :, :]
+    log_density = (-0.5 * jnp.sum(dev ** 2 / var, axis=-1)
+                   - 0.5 * (nz * math.log(2 * math.pi)
+                            + jnp.sum(logvar, -1)[None, :]))
+    log_qz = V.log_sum_exp(log_density, axis=1) - math.log(n)
+    return neg_entropy - jnp.mean(log_qz)
+
+
+def test_mi_matches_direct_form():
+    """The chunked matmul expansion equals the direct (N,N,nz) estimator,
+    including when N is not a multiple of the chunk size."""
+    rng = np.random.default_rng(7)
+    key = jax.random.PRNGKey(3)
+    n, nz = 77, 13
+    mu = jnp.asarray(rng.standard_normal((n, nz)) * 3 + 5, jnp.float32)
+    logvar = jnp.asarray(rng.standard_normal((n, nz)) * 0.5, jnp.float32)
+    direct = float(_mi_direct(key, mu, logvar))
+    chunked = float(V.mi_from_posteriors(key, mu, logvar, chunk=16))
+    assert abs(direct - chunked) < 1e-3, (direct, chunked)
+    one_chunk = float(V.mi_from_posteriors(key, mu, logvar, chunk=4096))
+    assert abs(direct - one_chunk) < 1e-3
+
+
+@pytest.mark.slow
+def test_mi_bounded_memory_at_vggsound_width():
+    """N=4096 posteriors at the VGGSound latent width (nz=1472): the direct
+    form would need N²·nz·4 = ~99 GB; the chunked form peaks at
+    O(chunk·N) and must simply run on this host."""
+    rng = np.random.default_rng(0)
+    n, nz = 4096, 1472
+    mu = jnp.asarray(rng.standard_normal((n, nz)), jnp.float32)
+    logvar = jnp.asarray(rng.standard_normal((n, nz)) * 0.1 - 1.0,
+                         jnp.float32)
+    mi = float(V.mi_from_posteriors(jax.random.PRNGKey(0), mu, logvar,
+                                    chunk=512))
+    assert np.isfinite(mi)
+
+
 def test_active_units():
     means = jnp.asarray(np.concatenate([
         np.random.default_rng(0).standard_normal((64, 3)),  # active dims
