@@ -247,14 +247,16 @@ def metrics_epoch_end(task, dm, log: TBLogger,
     def cb(state, epoch, agg: Dict[str, float], extras: Dict[str, Any]):
         if not is_primary():
             return
-        batches = []
+        # keep only the (B, T) token arrays — hoarding whole batches would
+        # hold every 80x848 f32 `image` spec of the val set in memory
+        tokens = []
         for i, b in enumerate(dm.val_dataloader()):
             if limit_batches and i >= limit_batches:
                 break
-            batches.append(b)
-        if not batches:
+            tokens.append(np.asarray(task.batch_tokens(b)))
+        if not tokens:
             return
-        mi, au, _ = task.calc_mi_au(state, batches)
+        mi, au, _ = task.calc_mi_au(state, tokens)
         step = int(jax.device_get(state["step"]))
         log.scalar("metrics/mutual_info", mi, step)
         log.scalar("metrics/active_units", au, step)

@@ -29,7 +29,7 @@ import optax
 from ..configs import ExperimentConfig
 from ..models import gpt_vae as G
 from ..models import lstm_vae as L
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import make_mesh, put_batch, replicated
 from ..parallel.reduce import cross_process_sum
 from .optim import make_optimizer
 from .vae_task import VAETask
@@ -124,9 +124,12 @@ class LSTMVAETask:
         return lstm_tokens_from_batch(batch["codes"], self.cfg.bos_id,
                                       self.cfg.eos_id)
 
+    # per-task token view for single-pass eval callers (mirrors
+    # VAETask.batch_tokens)
+    batch_tokens = _tokens
+
     def _shard(self, batch: Dict) -> jnp.ndarray:
-        x = self._tokens(batch)
-        return jax.device_put(x, batch_sharding(self.mesh, 2))
+        return put_batch(self.mesh, self._tokens(batch))
 
     def train_step(self, state, batch, rng, epoch: int = 0):
         x = self._shard(batch)
@@ -173,7 +176,8 @@ class LSTMVAETask:
         mus, logvars = [], []
         fwd = jax.jit(lambda p, x: L.lstm_encoder_forward(p, self.cfg, x))
         for b in batches:
-            x = self._tokens(b)
+            x = self.batch_tokens(b) if isinstance(b, dict) \
+                else jnp.asarray(b)
             mu, lv = fwd(state["params"]["encoder"], x)
             mus.append(np.asarray(mu))
             logvars.append(np.asarray(lv))
@@ -193,7 +197,8 @@ class LSTMVAETask:
                                                    nsamples=nsamples, ns=ns))
         nll_sum, words, sents = 0.0, 0, 0
         for b in batches:
-            x = self._tokens(b)
+            x = self.batch_tokens(b) if isinstance(b, dict) \
+                else jnp.asarray(b)
             key, k = jax.random.split(key)
             nll_sum += float(jnp.sum(fn(state["params"], k, x)))
             words += (x.shape[1] - 1) * x.shape[0]

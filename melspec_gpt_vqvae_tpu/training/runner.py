@@ -255,34 +255,26 @@ def evaluate_vae(task, dm, *, split: str = "val",
         state = restored["state"]
     loader = dm.test_dataloader() if split == "test" else dm.val_dataloader()
     rng = jax.random.PRNGKey(0)
-    outputs = []
+    # ONE loader pass: eval metrics are scalars; MI/AU and IW-NLL reuse the
+    # tiny (B, T) int32 token arrays instead of hoarding full batches (a
+    # VGGSound val batch list would hold ~5 GB of 80x848 f32 `image` specs)
+    outputs, tokens = [], []
+    keep_tokens = compute_mi_au or (iw_nsamples and iw_nsamples > 0)
     for i, batch in enumerate(loader):
         if limit_batches and i >= limit_batches:
             break
         rng, r = jax.random.split(rng)
         outputs.append(task.eval_step(state, batch, r))
+        if keep_tokens:
+            tokens.append(np.asarray(task.batch_tokens(batch)))
     agg = task.metrics_from_sums(
         cross_process_sum(task.sum_outputs(outputs)))
     if compute_mi_au:
-        loader2 = (dm.test_dataloader() if split == "test"
-                   else dm.val_dataloader())
-        batches = []
-        for i, b in enumerate(loader2):
-            if limit_batches and i >= limit_batches:
-                break
-            batches.append(b)
-        mi, au, _ = task.calc_mi_au(state, batches)
+        mi, au, _ = task.calc_mi_au(state, tokens)
         agg["mutual_info"] = mi
         agg["active_units"] = au
     if iw_nsamples and iw_nsamples > 0:
-        loader3 = (dm.test_dataloader() if split == "test"
-                   else dm.val_dataloader())
-        batches = []
-        for i, b in enumerate(loader3):
-            if limit_batches and i >= limit_batches:
-                break
-            batches.append(b)
-        iw_nll, iw_ppl = task.calc_iwnll(state, batches,
+        iw_nll, iw_ppl = task.calc_iwnll(state, tokens,
                                          nsamples=iw_nsamples)
         agg["iw_nll"] = iw_nll
         agg["iw_ppl"] = iw_ppl
