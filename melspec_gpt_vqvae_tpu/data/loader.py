@@ -96,9 +96,14 @@ class DataLoader:
 
     def _batches(self) -> Iterator[Dict]:
         order = self._order()
-        # contiguous per-host shard of the shuffled order
+        # interleaved per-host shard (torch DistributedSampler semantics:
+        # indices[rank::world]).  Interleaving makes the UNION of all
+        # hosts' batch i equal the single-process global batch i (as a
+        # set), so a multi-process run consumes identical global batches
+        # to a single-process run with batch P*B — proven by
+        # scripts/dryrun_multiprocess.py.
         per = len(order) // self.process_count
-        order = order[self.process_index * per:(self.process_index + 1) * per]
+        order = order[self.process_index::self.process_count][:per]
         nb = len(self)
         for b in range(nb):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]

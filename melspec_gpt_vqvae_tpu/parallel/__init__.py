@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     maybe_init_distributed,
     batch_sharding,
     replicated,
+    put_batch,
     shard_batch,
     gpt_param_pspecs,
     shard_gpt_params,

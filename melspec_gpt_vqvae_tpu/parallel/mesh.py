@@ -81,12 +81,26 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def put_batch(mesh: Mesh, x):
+    """Form a batch-sharded global device array from this process's LOCAL
+    batch rows.
+
+    Single-process: plain ``device_put``.  Multi-process: the local array
+    is one host's shard of the global batch, so
+    ``jax.make_array_from_process_local_data`` assembles the (P*B, ...)
+    global array — a bare ``device_put`` would instead treat the local
+    array AS the global one and silently drop all but 1/P of each host's
+    rows (the latent bug class real 2-process runs exist to catch)."""
+    x = np.asarray(x)
+    sharding = batch_sharding(mesh, max(x.ndim, 1))
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of host arrays with batch-axis sharding."""
-    def _put(x):
-        x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
-    return jax.tree_util.tree_map(_put, batch)
+    """Device_put a pytree of host-local arrays with batch-axis sharding."""
+    return jax.tree_util.tree_map(lambda x: put_batch(mesh, x), batch)
 
 
 def local_batch_slice(global_batch_size: int) -> slice:
