@@ -42,6 +42,12 @@ class GPTConfig:
     dtype: str = "float32"        # parameter dtype
     compute_dtype: str = "bfloat16"  # activation/matmul dtype on TPU
     remat: bool = False            # jax.checkpoint each block
+    remat_policy: str = "full"     # what remat SAVES per block: "full"
+                                   # (nothing — replay everything), "attn"
+                                   # (save attention outputs so the MLP
+                                   # backward skips the attention replay),
+                                   # "dots" (save all non-batch matmul
+                                   # outputs — cheapest replay, most HBM)
     cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)

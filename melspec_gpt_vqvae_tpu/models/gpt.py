@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..configs import GPTConfig
 from ..ops.attention import attend
@@ -160,6 +161,10 @@ def _block(x, p, cfg: GPTConfig, *, train: bool, rngs, return_attn: bool,
                      return_attn=return_attn, use_pallas=use_pallas)
         if return_attn:
             res, att = res
+    # named for remat_policy="attn": saving the attention output lets the
+    # MLP/projection backward reuse it instead of replaying the whole
+    # attention forward (B,H,T,T materialisation) a second time
+    res = checkpoint_name(res, "attn_out")
     y = _mm(_merge_heads(res), p["attn_proj"]["w"], mixed) \
         + p["attn_proj"]["b"]
     y = _dropout(y, cfg.resid_pdrop, rngs[1] if train else None, train)
@@ -218,7 +223,17 @@ def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
         return _block(x_in, p, cfg, train=train, rngs=rngs,
                       return_attn=return_attn, use_pallas=use_pallas)
 
-    maybe_remat = jax.checkpoint(block_fn) if cfg.remat else block_fn
+    if cfg.remat:
+        policy = {
+            "full": None,
+            "attn": jax.checkpoint_policies.save_only_these_names(
+                "attn_out"),
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[cfg.remat_policy]
+        maybe_remat = (jax.checkpoint(block_fn, policy=policy)
+                       if policy is not None else jax.checkpoint(block_fn))
+    else:
+        maybe_remat = block_fn
 
     def body(carry, xs):
         p, rngs = xs
