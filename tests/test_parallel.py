@@ -58,6 +58,54 @@ def test_tp_sharded_forward_matches_replicated(params):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
 
 
+def test_tp_sharded_generation_matches_replicated(params):
+    """Model-axis (TP) sharded KV-cached decode: params sharded
+    Megatron-style, the (L, B, H, T, hd) cache sharded over heads by GSPMD
+    propagation — greedy tokens must equal single-device generation, for
+    the f32 AND the int8-cache + int8-weight serving paths."""
+    mesh = make_mesh({"data": 2, "model": 4})
+    c = jnp.asarray(np.random.default_rng(0).integers(0, 4, (8,)), jnp.int32)
+    cond = G.class_embed(params, c)
+    sharded = shard_gpt_params(mesh, params)
+    cond_sharded = jax.device_put(cond, batch_sharding(mesh, 3))
+
+    for cfg in (CFG, CFG.replace(cache_dtype="int8",
+                                 decode_weight_dtype="int8")):
+        ref = G.gpt_generate(params, cfg, jax.random.PRNGKey(3), cond, None,
+                             steps=6, sample=False, use_pallas=False)
+        out = G.gpt_generate(sharded, cfg, jax.random.PRNGKey(3),
+                             cond_sharded, None, steps=6, sample=False,
+                             use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_tp_generation_shards_memory(params):
+    """Per-device footprint must drop when the model axis grows (the cache
+    shards over heads, the weights over the TP dims) — this is what lets
+    the XL decoder run B>=256 per 2-chip group (xl_decode_bench
+    --project_tp)."""
+    import functools
+    c = jnp.asarray(np.zeros((8,)), jnp.int32)
+    cond = G.class_embed(params, c)
+
+    def mem(shape):
+        mesh = make_mesh(shape)
+        ps = shard_gpt_params(mesh, params)
+        conds = jax.device_put(cond, batch_sharding(mesh, 3))
+        fn = functools.partial(
+            G.gpt_generate.__wrapped__, cfg=CFG, steps=8, temperature=1.0,
+            top_k=None, sample=False, use_pallas=False, segments=1)
+        comp = jax.jit(lambda p, k, co: fn(p, key=k, cond_emb=co,
+                                           given=None)) \
+            .lower(ps, jax.random.PRNGKey(0), conds).compile()
+        ma = comp.memory_analysis()
+        return ma.argument_size_in_bytes
+
+    args_dp = mem({"data": 8, "model": 1})
+    args_tp = mem({"data": 2, "model": 4})
+    assert args_tp < 0.55 * args_dp, (args_dp, args_tp)
+
+
 def test_tp_sharded_train_step_runs(params):
     """Grads + AdamW update under dp x tp shardings execute and stay finite
     (the dryrun_multichip path, in-suite)."""
