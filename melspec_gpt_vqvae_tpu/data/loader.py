@@ -9,6 +9,7 @@ background prefetch thread so npy decode overlaps device compute.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional
@@ -38,7 +39,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 783435,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2, use_native: Optional[bool] = None):
+                 prefetch: int = 2, use_native: Optional[bool] = None,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +51,11 @@ class DataLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.use_native = use_native  # None = auto
+        # parallel batch builders (the reference runs num_workers =
+        # 2*batch_size loader PROCESSES, datamodule.py:14; threads suffice
+        # here - npy decode is numpy/C++ releasing the GIL).  1 = the
+        # single prefetch thread (right for a 1-core dev host).
+        self.num_workers = max(1, int(num_workers))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -94,7 +101,7 @@ class DataLoader:
                 "label": [l for _, _, _, l in items],
                 "file_path_": [s for s, _, _, _ in items]}
 
-    def _batches(self) -> Iterator[Dict]:
+    def _shard_order(self):
         order = self._order()
         # interleaved per-host shard (torch DistributedSampler semantics:
         # indices[rank::world]).  Interleaving makes the UNION of all
@@ -103,20 +110,28 @@ class DataLoader:
         # to a single-process run with batch P*B — proven by
         # scripts/dryrun_multiprocess.py.
         per = len(order) // self.process_count
-        order = order[self.process_index::self.process_count][:per]
-        nb = len(self)
-        for b in range(nb):
+        return order[self.process_index::self.process_count][:per]
+
+    def _build_batch(self, idxs) -> Dict:
+        batch = self._native_batch(idxs)
+        if batch is None:
+            batch = _stack_items([self.dataset[int(i)] for i in idxs])
+        return batch
+
+    def _batches(self) -> Iterator[Dict]:
+        order = self._shard_order()
+        for b in range(len(self)):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             if len(idxs) == 0:
                 return
-            batch = self._native_batch(idxs)
-            if batch is None:
-                batch = _stack_items([self.dataset[int(i)] for i in idxs])
-            yield batch
+            yield self._build_batch(idxs)
 
     def __iter__(self) -> Iterator[Dict]:
         if self.prefetch <= 0:
             yield from self._batches()
+            return
+        if self.num_workers > 1:
+            yield from self._iter_pool()
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -141,6 +156,28 @@ class DataLoader:
                 return
             yield item
 
+    def _iter_pool(self) -> Iterator[Dict]:
+        """num_workers > 1: batches build concurrently in a thread pool and
+        are yielded IN ORDER (determinism identical to the serial path); at
+        most prefetch + num_workers batches are in flight."""
+        import concurrent.futures
+        order = self._shard_order()
+        nb = len(self)
+        window = self.prefetch + self.num_workers
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
+            futures = {}
+            for b in range(min(window, nb)):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                futures[b] = ex.submit(self._build_batch, idxs)
+            for b in range(nb):
+                batch = futures.pop(b).result()
+                nxt = b + window
+                if nxt < nb:
+                    idxs = order[nxt * self.batch_size:
+                                 (nxt + 1) * self.batch_size]
+                    futures[nxt] = ex.submit(self._build_batch, idxs)
+                yield batch
+
 
 class DataModule:
     """Dataset selection by spec_dir_path substring
@@ -154,6 +191,12 @@ class DataModule:
                  process_index: int = 0, process_count: int = 1):
         self.batch_size = batch_size
         self.spec_dir_path = spec_dir_path
+        # None = auto: threads to match the host's spare cores (the
+        # reference default is 2*batch_size processes, datamodule.py:14 —
+        # far past the point of diminishing returns for threaded npy reads)
+        if num_workers is None:
+            num_workers = max(1, min(8, (os.cpu_count() or 1) - 1))
+        self.num_workers = max(1, int(num_workers))
         self.kw = dict(mel_num=mel_num, spec_len=spec_len,
                        spec_crop_len=spec_crop_len, random_crop=random_crop)
         self.seed = seed
@@ -188,7 +231,8 @@ class DataModule:
         return DataLoader(ds, self.batch_size, shuffle=shuffle,
                           drop_last=True, seed=self.seed,
                           process_index=self.process_index,
-                          process_count=self.process_count)
+                          process_count=self.process_count,
+                          num_workers=self.num_workers)
 
     def train_dataloader(self):
         return self._loader(self.train_dataset, True)

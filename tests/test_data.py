@@ -83,6 +83,21 @@ def test_loader_per_host_sharding(vas_tree):
     assert len(seen) == len(set(seen)) == 8
 
 
+def test_loader_parallel_workers_order_identical(vas_tree):
+    """num_workers > 1 builds batches in a thread pool but must yield the
+    exact same batches in the exact same order as the serial path."""
+    ds = VASSpecs("train", str(vas_tree / "features" / "*" /
+                               "melspec_10s_22050hz"),
+                  data_root=str(vas_tree / "data"))
+    serial = list(DataLoader(ds, batch_size=3, shuffle=True, prefetch=0))
+    pooled = list(DataLoader(ds, batch_size=3, shuffle=True, prefetch=2,
+                             num_workers=4))
+    assert len(serial) == len(pooled) == 3
+    for a, b in zip(serial, pooled):
+        assert a["file_path_"] == b["file_path_"]
+        np.testing.assert_array_equal(a["codes"], b["codes"])
+
+
 def test_datamodule_selects_vas(vas_tree):
     dm = DataModule(batch_size=2,
                     spec_dir_path=str(vas_tree / "features" / "*" /
