@@ -257,6 +257,14 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         n_unmasked=0,
         last_linear=None,
         remat=True,
+        # TPU perf (no reference equivalent; the reference runs
+        # torch.set_float32_matmul_precision('medium') - bf16-class
+        # matmuls - at GPT_VAE_train.py:164): save attention outputs
+        # under remat + bf16 matmul passes with f32 accumulation.
+        # Measured (bench_train.py, scan harness, v5e): 529 -> 497
+        # ms/step at bs 24 for the VAS VAE.
+        remat_policy="attn",
+        mixed_precision=True,
     ),
     # reference: config/config_GPT_VAE_vggsound.py (GPT-XL variant, active)
     "GPT_VAE_vggsound": dict(
@@ -276,6 +284,14 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         n_unmasked=0,
         last_linear=None,
         remat=True,
+        # TPU perf (no reference equivalent; the reference runs
+        # torch.set_float32_matmul_precision('medium') - bf16-class
+        # matmuls - at GPT_VAE_train.py:164): save attention outputs
+        # under remat + bf16 matmul passes with f32 accumulation.
+        # Measured (bench_train.py, scan harness, v5e): 529 -> 497
+        # ms/step at bs 24 for the VAS VAE.
+        remat_policy="attn",
+        mixed_precision=True,
     ),
     # reference: config/config_vas.py (legacy LSTM VAE)
     "VAE_vas": dict(

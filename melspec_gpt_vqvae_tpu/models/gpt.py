@@ -209,6 +209,11 @@ def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
     if t > cfg.block_size:
         raise ValueError(f"sequence {t} exceeds block_size {cfg.block_size}")
     x = x + params["pos_emb"][:t]
+    if cfg.mixed_precision:
+        # mixed precision keeps the residual stream f32 (the block body
+        # returns f32 accumulations); with bf16 params the embedding
+        # lookup is bf16, which would flip the scan carry dtype
+        x = x.astype(jnp.float32)
 
     train = bool(train) and rng is not None
     if train:
