@@ -51,9 +51,11 @@ def main():
     exp = load_preset("GPT", "vas")
     int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1" and on_tpu
     int8_w = os.environ.get("BENCH_INT8_W", "1") == "1" and on_tpu
+    # BENCH_KV overrides: auto | int8 | int4 (packed nibbles)
+    kv = os.environ.get("BENCH_KV", "int8" if int8_kv else "auto")
     gcfg = exp.model.replace(
         dtype="bfloat16" if on_tpu else "float32",
-        cache_dtype="int8" if int8_kv else "auto",
+        cache_dtype=kv if on_tpu else "auto",
         decode_weight_dtype="int8" if int8_w else "auto")
     vcfg = exp.vqvae
     mcfg = MelConfig()

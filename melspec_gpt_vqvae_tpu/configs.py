@@ -48,7 +48,9 @@ class GPTConfig:
                                    # backward skips the attention replay),
                                    # "dots" (save all non-batch matmul
                                    # outputs — cheapest replay, most HBM)
-    cache_dtype: str = "auto"     # KV cache: "auto" (= dtype) or "int8"
+    cache_dtype: str = "auto"     # KV cache: "auto" (= dtype), "int8", or
+                                  # "int4" (nibble-packed, absmax/7 —
+                                  # halves the streamed value bytes again)
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)
     decode_weight_dtype: str = "auto"  # "int8" streams absmax-quantised

@@ -286,15 +286,18 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_len: Optional[int] = None,
     # (L, B, H, T, hd): head-major so the decode attention contraction
     # reads each (b, h) row contiguously over (T, hd)
     shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
-    if cfg.cache_dtype == "int8":
-        # absmax-quantised cache: int8 values + bf16 scale per
-        # (layer, batch, position, head) — halves the cache reads that
-        # dominate AR decode on TPU (bf16 scales: f32 ones were 25% of the
-        # streamed bytes at hd=64; the ~0.4% scale rounding is invisible
-        # next to the int8 value quantisation)
+    if cfg.cache_dtype in ("int8", "int4"):
+        # absmax-quantised cache: int8 (or nibble-packed int4) values +
+        # bf16 scale per (layer, batch, position, head) — the cache reads
+        # dominate AR decode on TPU, so every halving of the value bytes
+        # moves the bandwidth floor (bf16 scales: f32 ones were 25% of the
+        # streamed bytes at hd=64)
+        if cfg.cache_dtype == "int4":
+            shape = shape[:-1] + (cfg.head_dim // 2,)   # two nibbles/byte
         sshape = (cfg.n_layer, batch, cfg.n_head, max_len)
-        return {"k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
+        vdtype = jnp.uint8 if cfg.cache_dtype == "int4" else jnp.int8
+        return {"k": jnp.zeros(shape, vdtype),
+                "v": jnp.zeros(shape, vdtype),
                 "k_scale": jnp.zeros(sshape, jnp.bfloat16),
                 "v_scale": jnp.zeros(sshape, jnp.bfloat16),
                 "len": jnp.zeros((), jnp.int32)}
@@ -310,6 +313,29 @@ def _quantize_kv(x: jnp.ndarray):
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _quantize_kv4(x: jnp.ndarray):
+    """(..., hd) -> (uint8 nibble-packed int4 values (..., hd/2), f32
+    absmax-scale over hd).  Values clip to [-7, 7]; even head-dims go to
+    the low nibble, odd to the high."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -7, 7).astype(jnp.int32)
+    lo = q[..., 0::2] & 0xF
+    hi = q[..., 1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def _unpack4(p: jnp.ndarray) -> jnp.ndarray:
+    """uint8 nibble-packed (..., hd/2) -> int32 values (..., hd) in
+    [-7, 7] (sign-extended)."""
+    p = p.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    v = jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (-1,))
+    return v - 16 * (v > 7)
 
 
 def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
@@ -346,9 +372,10 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
 
     x, (ks, vs) = jax.lax.scan(body, x, params["blocks"])
     cache = dict(cache)
-    if cfg.cache_dtype == "int8":
-        kq, ks_s = _quantize_kv(ks)
-        vq, vs_s = _quantize_kv(vs)
+    if cfg.cache_dtype in ("int8", "int4"):
+        quant = _quantize_kv if cfg.cache_dtype == "int8" else _quantize_kv4
+        kq, ks_s = quant(ks)
+        vq, vs_s = quant(vs)
         cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq,
                                                   (0, 0, 0, 0, 0))
         cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,
@@ -419,7 +446,8 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     blocks = params["blocks"]
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
 
-    int8_cache = cfg.cache_dtype == "int8"
+    int8_cache = cfg.cache_dtype in ("int8", "int4")
+    quant = _quantize_kv4 if cfg.cache_dtype == "int4" else _quantize_kv
 
     def body(carry, xs):
         if int8_cache:
@@ -444,8 +472,8 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
         kh = k.reshape(1, b, cfg.n_head, 1, cfg.head_dim)
         vh = v.reshape(1, b, cfg.n_head, 1, cfg.head_dim)
         if int8_cache:
-            kq, ks_s = _quantize_kv(kh)
-            vq, vs_s = _quantize_kv(vh)
+            kq, ks_s = quant(kh)
+            vq, vs_s = quant(vh)
             k_cache = jax.lax.dynamic_update_slice(k_cache, kq,
                                                    (l, 0, 0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, vq,
@@ -470,16 +498,22 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
             # stays; see BENCH_NOTES.md.)
             k_s = jax.lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
             v_s = jax.lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
+            if cfg.cache_dtype == "int4":
+                # nibble-unpack fuses with the convert into the einsum
+                # read; the packed uint8 stream is what leaves HBM
+                k_f = _unpack4(k_l).astype(jnp.float32)
+                v_f = _unpack4(v_l).astype(jnp.float32)
+            else:
+                k_f = k_l.astype(jnp.float32)
+                v_f = v_l.astype(jnp.float32)
             scores = jnp.einsum("bhd,bhtd->bht", qh.astype(jnp.float32),
-                                k_l.astype(jnp.float32),
-                                preferred_element_type=jnp.float32)
+                                k_f, preferred_element_type=jnp.float32)
             scores = scores * k_s.astype(jnp.float32) * scale
             scores = jnp.where(valid, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("bht,bhtd->bhd",
                            probs * v_s.astype(jnp.float32),
-                           v_l.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
+                           v_f, preferred_element_type=jnp.float32)
             o = o.astype(x.dtype)
         else:
             scores = jnp.einsum("bhd,bhtd->bht", qh, k_l,

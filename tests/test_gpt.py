@@ -241,6 +241,35 @@ def test_int8_kv_cache_generation_close_to_fp():
     assert agree >= 0.8, agree
 
 
+def test_int4_kv_cache_pack_roundtrip_and_generation():
+    """int4 packed KV cache: nibble pack/unpack is exact on the quantised
+    values, dequant error bounded by absmax/7, and greedy generation
+    mostly agrees with the fp cache on a tiny model."""
+    from melspec_gpt_vqvae_tpu.models.gpt import _quantize_kv4, _unpack4
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4, 16)),
+                    jnp.float32)
+    q, s = _quantize_kv4(x)
+    assert q.dtype == jnp.uint8 and q.shape == (2, 3, 4, 8)
+    vals = np.asarray(_unpack4(q))
+    assert vals.min() >= -7 and vals.max() <= 7
+    back = vals.astype(np.float32) * np.asarray(s)[..., None]
+    bound = np.asarray(jnp.max(jnp.abs(x), -1) / 7.0)[..., None]
+    assert (np.abs(back - np.asarray(x)) <= bound * 0.51 + 1e-6).all()
+
+    cfg = TINY.replace(class_size=4, cache_dtype="int4")
+    cfg_fp = TINY.replace(class_size=4)
+    p = _params(cfg)
+    cond = G.class_embed(p, jnp.asarray([[1], [3]]))
+    t_int4 = G.gpt_generate(p, cfg, jax.random.PRNGKey(0), cond, None,
+                            steps=10, sample=False, use_pallas=False)
+    t_fp = G.gpt_generate(p, cfg_fp, jax.random.PRNGKey(0), cond, None,
+                          steps=10, sample=False, use_pallas=False)
+    assert t_int4.shape == (2, 10)
+    agree = float((np.asarray(t_int4) == np.asarray(t_fp)).mean())
+    assert agree >= 0.7, agree
+
+
 def test_int8_weight_decode_close_to_fp():
     """int8 weight streaming in decode: quantised matmul is accurate and
     greedy generation mostly agrees with the fp-weight path."""
