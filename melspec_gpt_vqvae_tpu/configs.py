@@ -50,7 +50,9 @@ class GPTConfig:
                                    # outputs — cheapest replay, most HBM)
     cache_dtype: str = "auto"     # KV cache: "auto" (= dtype), "int8", or
                                   # "int4" (nibble-packed, absmax/7 —
-                                  # halves the streamed value bytes again)
+                                  # correct but 7x SLOWER on v5e: the
+                                  # unpack doesn't fuse into dots; see
+                                  # BENCH_NOTES.md round-3 negative result)
                                   # (absmax per (layer,pos,head); halves the
                                   # cache traffic that dominates AR decode)
     decode_weight_dtype: str = "auto"  # "int8" streams absmax-quantised

@@ -88,6 +88,18 @@ class GPTTask:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def perf_timer(self, window: int = 50):
+        """StepTimer reporting tokens/s + MFU for this task's train step
+        (perf/* scalars on TensorBoard)."""
+        from ..utils.profiling import StepTimer, count_params, gpt_fwd_flops
+        shapes = jax.eval_shape(
+            lambda k: init_gpt_params(k, self.cfg), jax.random.PRNGKey(0))
+        n = count_params(shapes)
+        b, t = self.exp.train.batch_size, self.cfg.block_size - 1
+        fwd = gpt_fwd_flops(n, b, t, self.cfg.n_layer, self.cfg.n_embd)
+        return StepTimer(window, tokens_per_example=t,
+                         flops_per_step=3.0 * fwd)
+
     def init_state(self, seed: int = 783435) -> TrainState:
         params = init_gpt_params(jax.random.PRNGKey(seed), self.cfg)
         params = jax.device_put(params, replicated(self.mesh))

@@ -77,7 +77,8 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
     rng = jax.random.PRNGKey(seed)
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
-    timer = StepTimer()
+    timer = task.perf_timer() if hasattr(task, "perf_timer") \
+        else StepTimer()
     # one host sync per fit; afterwards the python counter shadows the
     # device step (train_step increments by exactly 1)
     step = int(jax.device_get(state["step"]))
@@ -183,7 +184,8 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
     eval_base = jax.random.PRNGKey(seed + 1)
     train_loader = dm.train_dataloader()
     val_loader = dm.val_dataloader()
-    timer = StepTimer()
+    timer = task.perf_timer() if hasattr(task, "perf_timer") \
+        else StepTimer()
     step = int(jax.device_get(state["step"]))
 
     for epoch in range(start_epoch, epochs):

@@ -100,6 +100,20 @@ class VAETask:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def perf_timer(self, window: int = 50):
+        """StepTimer reporting tokens/s + MFU (encoder + decoder passes)."""
+        from ..utils.profiling import StepTimer, count_params, gpt_fwd_flops
+        shapes = jax.eval_shape(
+            lambda k: V.init_vae_params(k, self.cfgs), jax.random.PRNGKey(0))
+        b = self.exp.train.batch_size
+        enc, dec = self.cfgs.encoder, self.cfgs.decoder
+        fwd = (gpt_fwd_flops(count_params(shapes["encoder"]), b,
+                             enc.block_size, enc.n_layer, enc.n_embd)
+               + gpt_fwd_flops(count_params(shapes["decoder"]), b,
+                               dec.block_size, dec.n_layer, dec.n_embd))
+        return StepTimer(window, tokens_per_example=enc.block_size,
+                         flops_per_step=3.0 * fwd)
+
     def init_state(self, seed: int = 783435) -> TrainState:
         params = V.init_vae_params(jax.random.PRNGKey(seed), self.cfgs)
         params = jax.device_put(params, replicated(self.mesh))
