@@ -80,7 +80,11 @@ def init_config():
 
     # TPU-native additions
     parser.add_argument("--data_root", type=str, default="./data")
-    parser.add_argument("--mesh", type=str, default="")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="e.g. 'data=8', 'data=4,model=2', "
+                             "'data=2,pipe=4' (pipeline parallel)")
+    parser.add_argument("--pp_micro", type=int, default=0,
+                        help="pipeline microbatches (0 = 2*stages)")
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--epochs_override", type=int, default=0)
@@ -163,7 +167,8 @@ def main(args):
                     process_count=jax.process_count())
     dm.setup()
     steps_per_epoch = len(dm.train_dataloader())
-    task = VAETask(exp, steps_per_epoch, mesh)
+    task = VAETask(exp, steps_per_epoch, mesh,
+                   pp_micro=args.pp_micro)
 
     run_dir = os.path.join("lightning_logs",
                            f"{args.experiment}-{args.dataset}")

@@ -186,18 +186,11 @@ def class_embed(params: Params, class_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["class_emb"], class_idx[:, 0], axis=0)[:, None, :]
 
 
-def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
-              cond_emb: Optional[jnp.ndarray] = None, *,
-              train: bool = False, rng: Optional[jax.Array] = None,
-              return_attn: bool = False, use_pallas=None):
-    """Full forward.
-
-    idx: (B, T) int tokens (may be None if cond_emb alone is the input);
-    cond_emb: (B, P, D) embeddings prepended to the token embeddings
-    (reference: minGPT.py:168-199).
-
-    Returns (logits (B, P+T, out), last_layer_attention or None).
-    """
+def embed_tokens(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
+                 cond_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Token + class embeddings and position add — the input half of
+    ``gpt_apply`` (reference: minGPT.py:168-199), shared with the
+    pipeline-parallel forward (parallel/pipeline.py)."""
     parts = []
     if cond_emb is not None:
         parts.append(cond_emb.astype(cfg.dtype))
@@ -214,16 +207,14 @@ def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
         # returns f32 accumulations); with bf16 params the embedding
         # lookup is bf16, which would flip the scan carry dtype
         x = x.astype(jnp.float32)
+    return x
 
-    train = bool(train) and rng is not None
-    if train:
-        rng, drop_rng = jax.random.split(rng)
-        x = _dropout(x, cfg.embd_pdrop, drop_rng, train)
-        layer_rngs = jax.random.split(rng, cfg.n_layer * 3).reshape(
-            cfg.n_layer, 3, -1)
-    else:
-        layer_rngs = _raw_key_zeros((cfg.n_layer, 3))
 
+def make_block_body(cfg: GPTConfig, *, train: bool, return_attn: bool = False,
+                    use_pallas=None):
+    """The (possibly remat-wrapped) per-layer body that ``gpt_apply`` scans:
+    ``body(x, stacked_layer_params, (3, key_w) rngs) -> (x', att)``.
+    Shared with the pipeline-parallel stack (parallel/pipeline.py)."""
     def block_fn(x_in, p, rngs):
         return _block(x_in, p, cfg, train=train, rngs=rngs,
                       return_attn=return_attn, use_pallas=use_pallas)
@@ -235,10 +226,37 @@ def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
                 "attn_out"),
             "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         }[cfg.remat_policy]
-        maybe_remat = (jax.checkpoint(block_fn, policy=policy)
-                       if policy is not None else jax.checkpoint(block_fn))
+        return (jax.checkpoint(block_fn, policy=policy)
+                if policy is not None else jax.checkpoint(block_fn))
+    return block_fn
+
+
+def gpt_apply(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
+              cond_emb: Optional[jnp.ndarray] = None, *,
+              train: bool = False, rng: Optional[jax.Array] = None,
+              return_attn: bool = False, use_pallas=None):
+    """Full forward.
+
+    idx: (B, T) int tokens (may be None if cond_emb alone is the input);
+    cond_emb: (B, P, D) embeddings prepended to the token embeddings
+    (reference: minGPT.py:168-199).
+
+    Returns (logits (B, P+T, out), last_layer_attention or None).
+    """
+    x = embed_tokens(params, cfg, idx, cond_emb)
+    t = x.shape[1]
+
+    train = bool(train) and rng is not None
+    if train:
+        rng, drop_rng = jax.random.split(rng)
+        x = _dropout(x, cfg.embd_pdrop, drop_rng, train)
+        layer_rngs = jax.random.split(rng, cfg.n_layer * 3).reshape(
+            cfg.n_layer, 3, -1)
     else:
-        maybe_remat = block_fn
+        layer_rngs = _raw_key_zeros((cfg.n_layer, 3))
+
+    maybe_remat = make_block_body(cfg, train=train, return_attn=return_attn,
+                                  use_pallas=use_pallas)
 
     def body(carry, xs):
         p, rngs = xs

@@ -71,12 +71,23 @@ def init_vae_params(key: jax.Array, cfgs: VAEConfigs) -> Params:
 
 
 def encoder_forward(params: Params, cfgs: VAEConfigs, x: jnp.ndarray, *,
-                    return_attn: bool = False, use_pallas=None):
+                    return_attn: bool = False, use_pallas=None, pp=None):
     """x (B, T) tokens -> (mean (B, nz), logvar (B, nz)[, attn]).
 
-    (reference: encoders.py:21-42 — last position, chunk(2), fix_var)."""
-    logits, att = gpt_apply(params["encoder"], cfgs.encoder, x,
-                            return_attn=return_attn, use_pallas=use_pallas)
+    (reference: encoders.py:21-42 — last position, chunk(2), fix_var).
+    ``pp=(mesh, n_micro)`` routes the block stack through the
+    pipeline-parallel schedule (parallel/pipeline.py); attention-map
+    requests stay on the sequential path (media/eval only)."""
+    if pp is not None and not return_attn:
+        from ..parallel.pipeline import gpt_apply_pp
+        logits = gpt_apply_pp(params["encoder"], cfgs.encoder, x,
+                              mesh=pp[0], n_micro=pp[1],
+                              use_pallas=use_pallas)
+        att = None
+    else:
+        logits, att = gpt_apply(params["encoder"], cfgs.encoder, x,
+                                return_attn=return_attn,
+                                use_pallas=use_pallas)
     last = logits[:, -1, :]
     mean, logvar = jnp.split(last, 2, axis=-1)
     if cfgs.vae.fix_var > 0:
@@ -108,9 +119,10 @@ def gaussian_kl_per_dim(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
-           nsamples: int = 1, *, use_pallas=None):
+           nsamples: int = 1, *, use_pallas=None, pp=None):
     """-> (z (B, ns, nz), KL (B,)) (reference: encoders.py:62-79)."""
-    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
+                                 pp=pp)
     z = reparameterize(key, mu, logvar, nsamples)
     return z, gaussian_kl(mu, logvar)
 
@@ -137,7 +149,8 @@ def eval_inference_dist(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
 
 def decoder_logits(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
                    z_one: jnp.ndarray, *, train: bool = False,
-                   rng: Optional[jax.Array] = None, use_pallas=None):
+                   rng: Optional[jax.Array] = None, use_pallas=None,
+                   pp=None):
     """Teacher-forced decoder logits for one z sample.
 
     x: (B, T) targets; z_one: (B, nz).  Input is [z, x[:, :-1]], output is
@@ -145,6 +158,11 @@ def decoder_logits(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
     (reference: decoders.py:23-38 with cond length 1).
     """
     cond = z_one[:, None, :]
+    if pp is not None:
+        from ..parallel.pipeline import gpt_apply_pp
+        return gpt_apply_pp(params["decoder"], cfgs.decoder, x[:, :-1],
+                            cond, mesh=pp[0], n_micro=pp[1], train=train,
+                            rng=rng, use_pallas=use_pallas)
     logits, _ = gpt_apply(params["decoder"], cfgs.decoder, x[:, :-1], cond,
                           train=train, rng=rng, use_pallas=use_pallas)
     return logits  # (B, T, V): cond contributes 1, x contributes T-1
@@ -153,12 +171,12 @@ def decoder_logits(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
 def reconstruct_error(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
                       z: jnp.ndarray, *, train: bool = False,
                       rng: Optional[jax.Array] = None,
-                      use_pallas=None) -> jnp.ndarray:
+                      use_pallas=None, pp=None) -> jnp.ndarray:
     """Summed CE per (batch, sample) -> (B, ns)
     (reference: decoders.py:40-68)."""
     def one(z_s, k):
         logits = decoder_logits(params, cfgs, x, z_s, train=train, rng=k,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, pp=pp)
         nll = cross_entropy_loss(logits, x, reduce="none")  # (B, T)
         return jnp.sum(nll, axis=-1)
 
@@ -172,13 +190,18 @@ def reconstruct_error(params: Params, cfgs: VAEConfigs, x: jnp.ndarray,
         # the common path: skip vmap entirely (batching a 24-layer remat
         # scan through vmap multiplies compile time for nothing)
         return one(z[:, 0, :], keys[0])[:, None]
+    if pp is not None:
+        # vmap-of-shard_map is off the beaten path; ns is a small static
+        # count, so an unrolled stack is the safe equivalent
+        return jnp.stack([one(z[:, i, :], keys[i]) for i in range(ns)],
+                         axis=1)
     errs = jax.vmap(one, in_axes=(1, 0), out_axes=1)(z, keys)
     return errs  # (B, ns)
 
 
-def log_probability(params, cfgs, x, z) -> jnp.ndarray:
+def log_probability(params, cfgs, x, z, *, pp=None) -> jnp.ndarray:
     """log p(x|z) = -reconstruct_error (reference: decoders.py:71-81)."""
-    return -reconstruct_error(params, cfgs, x, z)
+    return -reconstruct_error(params, cfgs, x, z, pp=pp)
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "strategy", "top_k",
@@ -234,37 +257,40 @@ def sample_from_prior(key: jax.Array, cfgs: VAEConfigs,
 def elbo_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
               x: jnp.ndarray, kl_weight: float | jnp.ndarray,
               nsamples: int = 1, *, train: bool = False,
-              use_pallas=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              use_pallas=None, pp=None) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray]:
     """-> (loss (B,), rec (B,), kl (B,))
     (reference ``GPT_VAE.loss``: Lit_GPT_VAE.py:176-195)."""
     k_enc, k_dec = jax.random.split(key)
-    z, kl = encode(params, cfgs, k_enc, x, nsamples, use_pallas=use_pallas)
+    z, kl = encode(params, cfgs, k_enc, x, nsamples, use_pallas=use_pallas,
+                   pp=pp)
     rec = jnp.mean(reconstruct_error(params, cfgs, x, z, train=train,
                                      rng=k_dec if train else None,
-                                     use_pallas=use_pallas), axis=1)
+                                     use_pallas=use_pallas, pp=pp), axis=1)
     return rec + kl_weight * kl, rec, kl
 
 
 def loss_iw(params: Params, cfgs: VAEConfigs, key: jax.Array,
             x: jnp.ndarray, kl_weight, nsamples: int = 50, ns: int = 10, *,
-            use_pallas=None):
+            use_pallas=None, pp=None):
     """Importance-weighted training objective -> (loss (B,), rec (B,), kl (B,))
     (the reference's ``loss_iw``, live in modules/Lit_vae.py:542 and
     commented at Lit_GPT_VAE.py:622-745): loss = -IW-logp + analytic-KL
     reweighting; here simply the differentiable IW NLL plus kl_weight*KL so
     beta scheduling still applies."""
     k1, k2 = jax.random.split(key)
-    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
+                                 pp=pp)
     kl = gaussian_kl(mu, logvar)
     nll = nll_iw(params, cfgs, k2, x, nsamples=nsamples, ns=ns,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas, pp=pp)
     return nll + kl_weight * kl, nll, kl
 
 
 def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
                   x: jnp.ndarray, kl_weight: jnp.ndarray, *,
                   nsamples: int = 1, train: bool = True,
-                  use_pallas=None) -> Tuple[jnp.ndarray, Dict]:
+                  use_pallas=None, pp=None) -> Tuple[jnp.ndarray, Dict]:
     """Scalar training loss with the fb∈{0,1,2,3} / beta==0 branch structure
     (reference: Lit_GPT_VAE.py:246-315).  Branches are static (config),
     matching XLA's compile-once model.
@@ -277,21 +303,22 @@ def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
         loss, rec, kl = loss_iw(params, cfgs, key, x, kl_weight,
                                 nsamples=vae.iw_train_nsamples,
                                 ns=max(1, vae.iw_train_ns),
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, pp=pp)
     elif vae.beta == 0:  # plain AE: kl ignored (kl_weight forced 0 upstream)
         loss, rec, kl = elbo_loss(params, cfgs, key, x, 0.0, nsamples,
-                                  train=train, use_pallas=use_pallas)
+                                  train=train, use_pallas=use_pallas, pp=pp)
     elif vae.fb == 0:
         loss, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
-                                  train=train, use_pallas=use_pallas)
+                                  train=train, use_pallas=use_pallas, pp=pp)
     elif vae.fb == 1:
         _, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
-                               train=train, use_pallas=use_pallas)
+                               train=train, use_pallas=use_pallas, pp=pp)
         kl_mask = (kl > vae.target_kl).astype(kl.dtype)
         loss = rec + kl_mask * kl_weight * kl
     elif vae.fb == 2:
         k_enc, k_dec = jax.random.split(key)
-        mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+        mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
+                                     pp=pp)
         z = reparameterize(k_enc, mu, logvar, nsamples)
         kl_dim = gaussian_kl_per_dim(mu, logvar)
         dim_target = vae.target_kl / float(cfgs.nz)
@@ -299,13 +326,14 @@ def training_loss(params: Params, cfgs: VAEConfigs, key: jax.Array,
         fake_kl = jnp.sum(kl_mask * kl_dim, axis=1)
         rec = jnp.mean(reconstruct_error(params, cfgs, x, z, train=train,
                                          rng=k_dec if train else None,
-                                         use_pallas=use_pallas), axis=1)
+                                         use_pallas=use_pallas, pp=pp),
+                       axis=1)
         loss = rec + kl_weight * fake_kl
         kl = jnp.sum(kl_dim, axis=1)
         aux["fake_loss_kl"] = jnp.mean(fake_kl)
     elif vae.fb == 3:
         _, rec, kl = elbo_loss(params, cfgs, key, x, kl_weight, nsamples,
-                               train=train, use_pallas=use_pallas)
+                               train=train, use_pallas=use_pallas, pp=pp)
         kl_mask = (jnp.mean(kl) > vae.target_kl).astype(kl.dtype)
         loss = rec + kl_mask * kl_weight * kl
     else:
@@ -331,18 +359,19 @@ def log_prior(z: jnp.ndarray) -> jnp.ndarray:
 
 def nll_iw(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
            nsamples: int = 500, ns: int = 10, *,
-           use_pallas=None) -> jnp.ndarray:
+           use_pallas=None, pp=None) -> jnp.ndarray:
     """IW estimate of -log p(x) per item -> (B,).
 
     -log p(x) ~= -[logsumexp_i (log p(x|z_i) + log p(z_i) - log q(z_i|x))
                    - log nsamples],  z_i ~ q(z|x), in chunks of ``ns``.
     """
-    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas)
+    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
+                                 pp=pp)
     chunks = max(1, nsamples // ns)
 
     def one_chunk(k):
         z = reparameterize(k, mu, logvar, ns)              # (B, ns, nz)
-        log_px_z = log_probability(params, cfgs, x, z)     # (B, ns)
+        log_px_z = log_probability(params, cfgs, x, z, pp=pp)  # (B, ns)
         log_pz = log_prior(z)                              # (B, ns)
         log_qz = eval_inference_dist(params, cfgs, x, z,
                                      param=(mu, logvar))   # (B, ns)

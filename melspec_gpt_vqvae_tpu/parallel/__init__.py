@@ -11,3 +11,10 @@ from .mesh import (  # noqa: F401
     process_index,
     is_primary,
 )
+from .pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    gpt_apply_pp,
+    gpt_param_pp_pspecs,
+    gpt_pp_loss_fn,
+    shard_gpt_params_pp,
+)

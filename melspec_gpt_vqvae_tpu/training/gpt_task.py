@@ -53,9 +53,16 @@ def gpt_loss_fn(params, cfg: GPTConfig, x: jnp.ndarray, c: jnp.ndarray,
 
 
 class GPTTask:
-    """Owns config + mesh + jitted steps for the GPT-class model."""
+    """Owns config + mesh + jitted steps for the GPT-class model.
 
-    def __init__(self, exp: ExperimentConfig, mesh=None, use_pallas=None):
+    A mesh with a ``pipe`` axis switches the loss to the pipeline-parallel
+    stack (parallel/pipeline.py): blocks stage-sharded over ``pipe``,
+    microbatched GPipe schedule, composing with the ``data`` axis.
+    ``pp_micro`` sets the microbatch count (0 = 2 * n_stages).
+    """
+
+    def __init__(self, exp: ExperimentConfig, mesh=None, use_pallas=None,
+                 pp_micro: int = 0):
         self.exp = exp
         self.cfg = exp.model
         self.mesh = mesh or make_mesh()
@@ -63,16 +70,33 @@ class GPTTask:
         self.optimizer = gpt_adamw(exp.train.learning_rate,
                                    exp.train.weight_decay, exp.train.betas)
 
+        from ..parallel.pipeline import PIPE_AXIS, gpt_pp_loss_fn
+        self.pp = PIPE_AXIS in self.mesh.shape
+        self.pp_micro = pp_micro
+
         cfg, opt = self.cfg, self.optimizer
         # In the differentiated loss, "auto" (None) resolves to the XLA
         # path: the fused Pallas attention is inference-only (no VJP).  An
         # explicit use_pallas=True is honored as requested.
         train_pallas = bool(use_pallas) if use_pallas is not None else False
 
+        if self.pp:
+            mesh_, micro = self.mesh, pp_micro
+
+            def loss_fn(p, x, c, rng=None, train=False, use_pallas=None):
+                return gpt_pp_loss_fn(p, cfg, x, c, mesh_, n_micro=micro,
+                                      rng=rng, train=train,
+                                      use_pallas=use_pallas)
+        else:
+            def loss_fn(p, x, c, rng=None, train=False, use_pallas=None):
+                return gpt_loss_fn(p, cfg, x, c, rng, train=train,
+                                   use_pallas=use_pallas)
+        self._loss_fn = loss_fn
+
         def train_step(state, x, c, rng):
             def loss(p):
-                return gpt_loss_fn(p, cfg, x, c, rng, train=True,
-                                   use_pallas=train_pallas)
+                return loss_fn(p, x, c, rng, train=True,
+                               use_pallas=train_pallas)
             l, g = jax.value_and_grad(loss)(state["params"])
             updates, opt_state = opt.update(g, state["opt_state"],
                                             state["params"])
@@ -81,7 +105,7 @@ class GPTTask:
                     "step": state["step"] + 1}, l
 
         def eval_step(params, x, c):
-            return gpt_loss_fn(params, cfg, x, c, use_pallas=use_pallas)
+            return loss_fn(params, x, c, use_pallas=use_pallas)
 
         self._train_step_fn = train_step   # unjitted (bench_train scans it)
         self._train_step = jax.jit(train_step, donate_argnums=0)
@@ -102,7 +126,11 @@ class GPTTask:
 
     def init_state(self, seed: int = 783435) -> TrainState:
         params = init_gpt_params(jax.random.PRNGKey(seed), self.cfg)
-        params = jax.device_put(params, replicated(self.mesh))
+        if self.pp:
+            from ..parallel.pipeline import shard_gpt_params_pp
+            params = shard_gpt_params_pp(self.mesh, params)
+        else:
+            params = jax.device_put(params, replicated(self.mesh))
         return {"params": params,
                 "opt_state": self.optimizer.init(params),
                 "step": jnp.zeros((), jnp.int32)}

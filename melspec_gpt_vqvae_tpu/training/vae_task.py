@@ -34,12 +34,19 @@ TrainState = Dict[str, Any]
 
 
 class VAETask:
+    """A mesh with a ``pipe`` axis routes both GPT stacks through the
+    pipeline-parallel schedule (parallel/pipeline.py); ``pp_micro`` sets
+    the microbatch count (0 = 2 * n_stages)."""
+
     def __init__(self, exp: ExperimentConfig, steps_per_epoch: int,
-                 mesh=None, use_pallas=None):
+                 mesh=None, use_pallas=None, pp_micro: int = 0):
         self.exp = exp
         self.cfgs = V.make_vae_configs(exp.model, exp.vae)
         self.mesh = mesh or make_mesh()
         self.use_pallas = use_pallas
+        from ..parallel.pipeline import PIPE_AXIS
+        self.pp = ((self.mesh, pp_micro)
+                   if PIPE_AXIS in self.mesh.shape else None)
         self.optimizer = make_optimizer(
             getattr(exp.train, "optimizer", "adamw"),
             exp.train.learning_rate, exp.train.weight_decay,
@@ -53,7 +60,7 @@ class VAETask:
             self.anneal_rate = 0.0
 
         cfgs, opt, anneal = self.cfgs, self.optimizer, self.anneal_rate
-        nsamples = vae.nsamples
+        nsamples, pp = vae.nsamples, self.pp
         # "auto" (None) resolves to XLA in the differentiated loss — the
         # fused Pallas attention is inference-only (no VJP); an explicit
         # use_pallas=True is honored.
@@ -68,7 +75,7 @@ class VAETask:
             def loss(p):
                 return V.training_loss(p, cfgs, rng, x, kl_weight,
                                        nsamples=nsamples, train=True,
-                                       use_pallas=train_pallas)
+                                       use_pallas=train_pallas, pp=pp)
             (l, aux), g = jax.value_and_grad(loss, has_aux=True)(
                 state["params"])
             # --freeze_epoch: stop updating the encoder after N epochs
@@ -91,7 +98,7 @@ class VAETask:
             # (reference: Lit_GPT_VAE.py:331-337)
             loss, rec, kl = V.elbo_loss(params, cfgs, rng, x,
                                         kl_weight, nsamples,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas, pp=pp)
             return {"loss": jnp.sum(loss), "loss_rc": jnp.sum(rec),
                     "loss_kl": jnp.sum(kl)}
 
@@ -116,7 +123,11 @@ class VAETask:
 
     def init_state(self, seed: int = 783435) -> TrainState:
         params = V.init_vae_params(jax.random.PRNGKey(seed), self.cfgs)
-        params = jax.device_put(params, replicated(self.mesh))
+        if self.pp is not None:
+            from ..parallel.pipeline import shard_gpt_params_pp
+            params = shard_gpt_params_pp(self.mesh, params)
+        else:
+            params = jax.device_put(params, replicated(self.mesh))
         return {"params": params,
                 "opt_state": self.optimizer.init(params),
                 "step": jnp.zeros((), jnp.int32),
