@@ -41,16 +41,10 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12
 
 
-def _count_params(tree) -> int:
-    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree)
-               if hasattr(x, "shape"))
-
-
-def _gpt_fwd_flops(n_params: int, b: int, t: int, n_layer: int,
-                   d: int) -> float:
-    """2*P*tokens matmul flops + the two attention einsums
-    (4*B*T^2*D per layer)."""
-    return 2.0 * n_params * b * t + 4.0 * n_layer * b * t * t * d
+# FLOP/param conventions shared with the runner's perf/* telemetry —
+# one definition, so the benchmark and TensorBoard can't diverge
+from melspec_gpt_vqvae_tpu.utils.profiling import (  # noqa: E402
+    count_params as _count_params, gpt_fwd_flops as _gpt_fwd_flops)
 
 
 def build_vae(exp, bs):

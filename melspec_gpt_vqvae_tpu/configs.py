@@ -288,12 +288,12 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         n_unmasked=0,
         last_linear=None,
         remat=True,
-        # TPU perf (no reference equivalent; the reference runs
-        # torch.set_float32_matmul_precision('medium') - bf16-class
-        # matmuls - at GPT_VAE_train.py:164): save attention outputs
-        # under remat + bf16 matmul passes with f32 accumulation.
-        # Measured (bench_train.py, scan harness, v5e): 529 -> 497
-        # ms/step at bs 24 for the VAS VAE.
+        # TPU perf: same attn-remat + mixed-precision policy as the VAS
+        # VAE preset (where it measured 529 -> 497 ms/step at bs 24);
+        # the XL itself was not re-measured under this preset — on one
+        # 16 GB chip it only trains with --opt adafactor --param_dtype
+        # bfloat16 (3.53 s/step, BENCH_NOTES.md "GPT-XL"), and multi-chip
+        # it runs over the pipe axis (scripts/xl_train_project.py).
         remat_policy="attn",
         mixed_precision=True,
     ),

@@ -158,8 +158,10 @@ class DataLoader:
 
     def _iter_pool(self) -> Iterator[Dict]:
         """num_workers > 1: batches build concurrently in a thread pool and
-        are yielded IN ORDER (determinism identical to the serial path); at
-        most prefetch + num_workers batches are in flight."""
+        are yielded IN ORDER (item order identical to the serial path; with
+        randomised transforms the draws are thread-safe but their order is
+        scheduling-dependent — see ``transforms.Crop``); at most
+        prefetch + num_workers batches are in flight."""
         import concurrent.futures
         order = self._shard_order()
         nb = len(self)

@@ -33,20 +33,30 @@ def random_crop(x: np.ndarray, h: int, w: int,
 
 
 class Crop:
-    """(reference: datasets/transforms.py:75-91)"""
+    """(reference: datasets/transforms.py:75-91)
+
+    Random crops draw positions under a lock: the loader's thread pool
+    (``num_workers > 1``) calls transforms concurrently and numpy
+    Generators are not thread-safe.  Draw ORDER is still
+    scheduling-dependent under the pool — same semantics as the
+    reference's multi-worker DataLoader, where each of the
+    ``2*batch_size`` workers consumes its own stream."""
 
     def __init__(self, cropped_shape: Optional[Tuple[int, int]] = None,
                  random: bool = False, seed: int = 0):
+        import threading
         self.cropped_shape = cropped_shape
         self.random = bool(random)
         self.rng = np.random.default_rng(seed)
+        self._lock = threading.Lock()
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         if self.cropped_shape is None:
             return x
         h, w = self.cropped_shape
         if self.random:
-            return random_crop(x, h, w, self.rng)
+            with self._lock:
+                return random_crop(x, h, w, self.rng)
         return center_crop(x, h, w)
 
 

@@ -77,7 +77,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Shard axis 0 (batch) over ``data``; replicate the rest."""
+    """Shard axis 0 (batch) over ``data``; replicate the rest.  On a mesh
+    without a ``data`` axis (e.g. ``--mesh pipe=4``) the batch replicates —
+    naming the absent axis would raise on the first ``put_batch``."""
+    if DATA_AXIS not in mesh.shape:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 

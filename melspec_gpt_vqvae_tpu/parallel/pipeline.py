@@ -77,7 +77,9 @@ def _pipeline_stack(x, blocks, layer_rngs, *, mesh: Mesh, cfg: GPTConfig,
 
     x: (B, T, D) with B sharded over ``data`` (or replicated);
     blocks: stacked (L, ...) leaves sharded over ``pipe`` on axis 0;
-    layer_rngs: (M, L, 3, key_w) per-microbatch per-layer dropout keys.
+    layer_rngs: (ndata, M, L, 3, key_w) per-data-shard per-microbatch
+    per-layer dropout keys (leading axis sharded over ``data`` so each
+    data shard draws independent masks).
     Returns (B, T, D), replicated over ``pipe``.
     """
     n_stages = mesh.shape[PIPE_AXIS]
@@ -90,11 +92,13 @@ def _pipeline_stack(x, blocks, layer_rngs, *, mesh: Mesh, cfg: GPTConfig,
     x_spec = P(DATA_AXIS) if has_data else P()
     blocks_specs = jax.tree_util.tree_map(
         lambda l: P(PIPE_AXIS, *([None] * (l.ndim - 1))), blocks)
-    rngs_spec = P(None, PIPE_AXIS)  # (M, L, 3, w): stage slab of layers
+    # (ndata, M, L, 3, w): data-shard slab x stage slab of layers
+    rngs_spec = P(DATA_AXIS if has_data else None, None, PIPE_AXIS)
 
     def staged(xl, blocks_loc, rngs_loc):
         # xl: (Bl, T, D) local batch rows (replicated over pipe);
-        # blocks_loc: (L/S, ...); rngs_loc: (M, L/S, 3, w)
+        # blocks_loc: (L/S, ...); rngs_loc: (1, M, L/S, 3, w)
+        rngs_loc = rngs_loc[0]
         stage = jax.lax.axis_index(PIPE_AXIS)
         S, M = n_stages, n_micro
         bl, t, d = xl.shape
@@ -160,14 +164,18 @@ def gpt_apply_pp(params: Params, cfg: GPTConfig, idx: Optional[jnp.ndarray],
     x = embed_tokens(params, cfg, idx, cond_emb)
 
     train = bool(train) and rng is not None
+    ndata = dict(mesh.shape).get(DATA_AXIS, 1)
     if train:
         rng, drop_rng = jax.random.split(rng)
         x = _dropout(x, cfg.embd_pdrop, drop_rng, train)
+        # leading ndata axis shards over ``data`` so each data shard
+        # applies independent dropout masks (a replicated key tree would
+        # drop the same elements of different examples on every shard)
         layer_rngs = jax.random.split(
-            rng, n_micro * cfg.n_layer * 3).reshape(
-            n_micro, cfg.n_layer, 3, -1)
+            rng, ndata * n_micro * cfg.n_layer * 3).reshape(
+            ndata, n_micro, cfg.n_layer, 3, -1)
     else:
-        layer_rngs = _raw_key_zeros((n_micro, cfg.n_layer, 3))
+        layer_rngs = _raw_key_zeros((ndata, n_micro, cfg.n_layer, 3))
 
     x = _pipeline_stack(x, params["blocks"], layer_rngs, mesh=mesh, cfg=cfg,
                         n_micro=n_micro, train=train, use_pallas=use_pallas)

@@ -46,13 +46,19 @@ class StepTimer:
     """Rolling steps/sec + examples/sec (+ tokens/s and MFU when the
     per-example token count and per-step useful FLOPs are known)."""
 
-    V5E_PEAK_FLOPS = 197e12   # bf16; MFU is vs one chip x process_count
+    V5E_PEAK_FLOPS = 197e12   # bf16, per chip
 
     def __init__(self, window: int = 50, tokens_per_example: int = 0,
-                 flops_per_step: float = 0.0):
+                 flops_per_step: float = 0.0, n_devices: int = 0):
         self.window = window
         self.tokens_per_example = tokens_per_example
         self.flops_per_step = flops_per_step
+        # flops_per_step covers the GLOBAL batch, so MFU divides by the
+        # peak of every device carrying it (all processes' chips), not one
+        if not n_devices:
+            import jax
+            n_devices = jax.device_count()
+        self.n_devices = n_devices
         self.t0 = time.time()
         self.steps = 0
         self.examples = 0
@@ -70,7 +76,8 @@ class StepTimer:
                 self.examples * self.tokens_per_example / dt
         if self.flops_per_step:
             out["perf/mfu_pct"] = (100.0 * self.steps * self.flops_per_step
-                                   / dt / self.V5E_PEAK_FLOPS)
+                                   / dt / (self.V5E_PEAK_FLOPS
+                                           * self.n_devices))
         self.t0 = time.time()
         self.steps = 0
         self.examples = 0

@@ -171,6 +171,50 @@ def test_pp_vae_task_matches_dp():
         (float(ref_loss), float(pp_loss))
 
 
+def test_pp_task_pipe_only_mesh():
+    """A mesh with ONLY a pipe axis must still train: batch_sharding
+    replicates the batch instead of naming the absent ``data`` axis
+    (regression — put_batch used to raise 'Resource axis: data ... not
+    found in mesh' on ``--mesh pipe=4``, the exact single-host XL
+    scenario scripts/xl_train_project.py projects)."""
+    from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
+                                               TrainConfig)
+    from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
+
+    cfg = CFG.replace(embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+                      block_size=21)
+    rng = np.random.default_rng(3)
+    batch = {"codes": rng.integers(0, 16, (8, 5, 4)).astype(np.int32),
+             "target": rng.integers(0, 4, (8, 1)).astype(np.int32)}
+    exp = ExperimentConfig(model=cfg,
+                           train=TrainConfig(learning_rate=1e-3, epochs=1,
+                                             batch_size=8),
+                           data=DataConfig(batch_size=8))
+    task = GPTTask(exp, make_mesh({"pipe": 4}), pp_micro=2)
+    st = task.init_state(0)
+    st, loss = task.train_step(st, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+
+
+def test_pp_dropout_independent_across_data_shards(params):
+    """Each data shard must draw its own dropout masks: feed the same
+    examples to both shards and require different outputs (a replicated
+    key tree used to drop identical elements on every shard)."""
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    cfg = CFG.replace(embd_pdrop=0.0, attn_pdrop=0.5, resid_pdrop=0.5)
+    x, c = _inputs(b=4)
+    x2 = jnp.concatenate([x, x], 0)       # shard 0 rows == shard 1 rows
+    c2 = jnp.concatenate([c, c], 0)
+    sharded = PP.shard_gpt_params_pp(mesh, params)
+    xs = jax.device_put(x2, batch_sharding(mesh, 2))
+    out = jax.jit(lambda p, k: PP.gpt_apply_pp(
+        p, cfg, xs, G.class_embed(p, c2), mesh=mesh, n_micro=2,
+        train=True, rng=k, use_pallas=False))(sharded,
+                                              jax.random.PRNGKey(9))
+    out = np.asarray(out)
+    assert not np.allclose(out[:4], out[4:])
+
+
 def test_pp_rejects_bad_shapes(params):
     mesh = make_mesh({"pipe": 8})
     x, c = _inputs(b=8)
