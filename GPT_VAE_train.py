@@ -107,9 +107,8 @@ def init_config():
 
 
 def parse_mesh(spec: str):
-    if not spec:
-        return None
-    return {k: int(v) for k, v in (kv.split("=") for kv in spec.split(","))}
+    from melspec_gpt_vqvae_tpu.parallel import parse_mesh as _parse
+    return _parse(spec)
 
 
 def main(args):

@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     make_mesh,
+    parse_mesh,
     maybe_init_distributed,
     batch_sharding,
     replicated,

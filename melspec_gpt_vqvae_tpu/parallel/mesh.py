@@ -47,6 +47,15 @@ def maybe_init_distributed() -> bool:
     return False
 
 
+def parse_mesh(spec: str) -> Optional[Dict[str, int]]:
+    """``"data=2,model=4"`` -> ``{"data": 2, "model": 4}`` (the CLIs'
+    ``--mesh`` flag; empty string -> None -> all devices on ``data``)."""
+    if not spec:
+        return None
+    return {k: int(v) for k, v in
+            (kv.split("=") for kv in spec.split(","))}
+
+
 def make_mesh(shape: Optional[Dict[str, int]] = None,
               devices=None) -> Mesh:
     """Create a mesh.  Default: all devices on the ``data`` axis.

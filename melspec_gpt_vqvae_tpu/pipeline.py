@@ -52,10 +52,11 @@ class GenerationPipeline:
 
     def __init__(self, exp: ExperimentConfig, gpt_params, vq_params,
                  voc_params, *, segments: int = 8, chunk: int = 128,
-                 bf16: Optional[bool] = None, use_pallas=None):
+                 bf16: Optional[bool] = None, use_pallas=None, mesh=None):
         self.exp = exp
         self.gcfg = exp.model
         self.vcfg = exp.vqvae
+        self.mesh = mesh
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         if bf16 is None:
             bf16 = on_tpu
@@ -64,6 +65,20 @@ class GenerationPipeline:
                 lambda a: a.astype(jnp.bfloat16), t)
             vq_params = to_bf16(vq_params)
             voc_params = to_bf16(voc_params)
+        if mesh is not None:
+            # multi-chip serving: GPT weights TP-shard over a ``model``
+            # axis when present (Megatron pspecs — GSPMD then propagates
+            # the head sharding into the KV cache, parity proven by
+            # tests/test_parallel.py); conv-stage weights replicate; the
+            # class batch shards over ``data`` via put_batch in generate()
+            from .parallel.mesh import (MODEL_AXIS, replicated,
+                                        shard_gpt_params)
+            if MODEL_AXIS in mesh.shape:
+                gpt_params = shard_gpt_params(mesh, gpt_params)
+            else:
+                gpt_params = jax.device_put(gpt_params, replicated(mesh))
+            vq_params = jax.device_put(vq_params, replicated(mesh))
+            voc_params = jax.device_put(voc_params, replicated(mesh))
         self.gpt_params = gpt_params
         self.vq_params = vq_params
         self.voc_params = voc_params
@@ -118,6 +133,9 @@ class GenerationPipeline:
         """classes: (N,) ints -> dict(tokens (N, S), specs (N, H, W),
         wavs (N, samples)) as host numpy arrays."""
         cls = jnp.asarray(classes, jnp.int32)
+        if self.mesh is not None:
+            from .parallel.mesh import put_batch
+            cls = put_batch(self.mesh, cls)
         toks = self._gen(self.gpt_params, cls, key, temperature, top_k,
                          sample)
         specs = _chunked(functools.partial(self._dec, self.vq_params),

@@ -64,6 +64,11 @@ def parse_args():
                    help="default: int8 on TPU, auto elsewhere")
     p.add_argument("--int8_weights", type=int, default=None,
                    help="stream int8 decode weights (default: 1 on TPU)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="serve over a device mesh, e.g. 'data=4' (batch "
+                        "sharded) or 'data=2,model=2' (Megatron-TP GPT "
+                        "weights + head-sharded KV cache); default: "
+                        "single device")
     return p.parse_args()
 
 
@@ -152,8 +157,17 @@ def main():
         classes = [int(c) for c in args.classes.split(",")]
     requests = np.repeat(np.asarray(classes, np.int32), args.num)
 
+    mesh = None
+    if args.mesh:
+        from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh, parse_mesh
+        mesh = make_mesh(parse_mesh(args.mesh))
+        print(f"mesh: {dict(mesh.shape)}")
     pipe = GenerationPipeline(exp, gpt_params, vq_params, voc_params,
-                              segments=args.segments, chunk=args.chunk)
+                              segments=args.segments, chunk=args.chunk,
+                              mesh=mesh)
+    # a data-sharded batch must divide the data axis; pad the tail batch
+    # (extra clips are generated but not written)
+    dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
@@ -161,10 +175,15 @@ def main():
     counters = {}
     for start in range(0, len(requests), args.batch):
         batch_cls = requests[start:start + args.batch]
+        n_real = len(batch_cls)
+        if n_real % dp:
+            batch_cls = np.concatenate(
+                [batch_cls, np.repeat(batch_cls[-1:], dp - n_real % dp)])
         key, k = jax.random.split(key)
         out = pipe.generate(batch_cls, k, temperature=args.temperature,
                             top_k=args.top_k,
                             sample=not args.deterministic)
+        batch_cls = batch_cls[:n_real]
         for j, c in enumerate(batch_cls):
             i = counters.get(int(c), 0)
             counters[int(c)] = i + 1

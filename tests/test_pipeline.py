@@ -76,6 +76,29 @@ def test_pipeline_chunking_matches_unchunked():
     np.testing.assert_allclose(a["wavs"], b["wavs"], atol=1e-5)
 
 
+def test_pipeline_mesh_serving_matches_single_device():
+    """``sample.py --mesh``: batch-sharded (data) and Megatron-TP (model)
+    serving must produce exactly the single-device clips (greedy decode;
+    TP head-sharding parity proven at the gpt_generate level by
+    tests/test_parallel.py — this covers the pipeline wiring)."""
+    from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh
+
+    exp = _tiny_exp()
+    pipe = _tiny_pipe(exp)
+    cls = np.asarray([0, 1, 2, 3], np.int32)
+    ref = pipe.generate(cls, jax.random.PRNGKey(5), sample=False)
+
+    for shape in ({"data": 4}, {"data": 2, "model": 2}):
+        mpipe = GenerationPipeline(
+            exp, pipe.gpt_params, pipe.vq_params, pipe.voc_params,
+            segments=2, chunk=0, bf16=False, mesh=make_mesh(shape))
+        out = mpipe.generate(cls, jax.random.PRNGKey(5), sample=False)
+        np.testing.assert_array_equal(ref["tokens"], out["tokens"],
+                                      err_msg=str(shape))
+        np.testing.assert_allclose(ref["wavs"], out["wavs"], atol=1e-5,
+                                   err_msg=str(shape))
+
+
 def test_write_wav_roundtrip(tmp_path):
     path = os.path.join(tmp_path, "clip.wav")
     wav = np.sin(np.linspace(0, 40 * np.pi, 2205)).astype(np.float32) * 0.5
