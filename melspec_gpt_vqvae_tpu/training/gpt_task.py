@@ -25,7 +25,7 @@ import optax
 from ..configs import ExperimentConfig, GPTConfig
 from ..models.gpt import (class_embed, cross_entropy_loss, gpt_apply,
                           gpt_attention_maps, gpt_generate, init_gpt_params)
-from ..parallel.mesh import make_mesh, put_batch, replicated
+from ..parallel.mesh import MODEL_AXIS, make_mesh, put_batch, replicated
 from .optim import gpt_adamw
 
 TrainState = Dict[str, Any]
@@ -129,6 +129,12 @@ class GPTTask:
         if self.pp:
             from ..parallel.pipeline import shard_gpt_params_pp
             params = shard_gpt_params_pp(self.mesh, params)
+        elif MODEL_AXIS in self.mesh.shape:
+            # --mesh ...,model=N: Megatron-TP shard the weights (and, via
+            # optax init on the sharded tree, the optimizer moments) —
+            # a replicated tree here would silently waste the TP axis
+            from ..parallel.mesh import shard_gpt_params
+            params = shard_gpt_params(self.mesh, params)
         else:
             params = jax.device_put(params, replicated(self.mesh))
         return {"params": params,

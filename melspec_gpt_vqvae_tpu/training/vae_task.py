@@ -25,7 +25,7 @@ import optax
 
 from ..configs import ExperimentConfig
 from ..models import gpt_vae as V
-from ..parallel.mesh import make_mesh, put_batch, replicated
+from ..parallel.mesh import MODEL_AXIS, make_mesh, put_batch, replicated
 from ..parallel.reduce import cross_process_sum
 from .gpt_task import tokens_from_batch
 from .optim import make_optimizer
@@ -126,6 +126,11 @@ class VAETask:
         if self.pp is not None:
             from ..parallel.pipeline import shard_gpt_params_pp
             params = shard_gpt_params_pp(self.mesh, params)
+        elif MODEL_AXIS in self.mesh.shape:
+            # --mesh ...,model=N: Megatron-TP shard both GPT stacks (the
+            # pspec rules match on 'blocks' paths at any nesting depth)
+            from ..parallel.mesh import shard_gpt_params
+            params = shard_gpt_params(self.mesh, params)
         else:
             params = jax.device_put(params, replicated(self.mesh))
         return {"params": params,

@@ -137,3 +137,50 @@ def test_tp_sharded_train_step_runs(params):
     # params moved
     assert not np.allclose(np.asarray(p2["head"]["w"]),
                            np.asarray(params["head"]["w"]))
+
+def test_tp_task_init_state_shards_and_matches_dp():
+    """GPTTask/VAETask on a mesh WITH a model axis must actually TP-shard
+    the weights (regression: init_state used to replicate them, silently
+    wasting --mesh model=N), and the first train-step loss must match the
+    data-parallel task."""
+    from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
+                                               TrainConfig, VAEConfig)
+    from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
+    from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
+
+    cfg = CFG.replace(embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+                      block_size=21)
+    rng = np.random.default_rng(3)
+    batch = {"codes": rng.integers(0, 16, (8, 5, 4)).astype(np.int32),
+             "target": rng.integers(0, 4, (8, 1)).astype(np.int32)}
+    exp = ExperimentConfig(model=cfg,
+                           train=TrainConfig(learning_rate=1e-3, epochs=1,
+                                             batch_size=8),
+                           data=DataConfig(batch_size=8))
+
+    plain = GPTTask(exp, make_mesh({"data": 2}))
+    _, ref_loss = plain.train_step(plain.init_state(0), batch,
+                                   jax.random.PRNGKey(5))
+
+    tp = GPTTask(exp, make_mesh({"data": 2, "model": 4}))
+    st = tp.init_state(0)
+    qkv = st["params"]["blocks"]["attn_qkv"]["w"]
+    assert "model" in str(qkv.sharding.spec), qkv.sharding
+    st, tp_loss = tp.train_step(st, batch, jax.random.PRNGKey(5))
+    assert abs(float(ref_loss) - float(tp_loss)) < 1e-5
+
+    vexp = ExperimentConfig(model=cfg, vae=VAEConfig(nz=32, warm_up=2),
+                            train=TrainConfig(learning_rate=1e-3, epochs=1,
+                                              batch_size=8),
+                            data=DataConfig(batch_size=8))
+    vplain = VAETask(vexp, steps_per_epoch=4, mesh=make_mesh({"data": 2}))
+    _, vref, _ = vplain.train_step(vplain.init_state(0), batch,
+                                   jax.random.PRNGKey(5))
+    vtp = VAETask(vexp, steps_per_epoch=4,
+                  mesh=make_mesh({"data": 2, "model": 4}))
+    vst = vtp.init_state(0)
+    enc_qkv = vst["params"]["encoder"]["blocks"]["attn_qkv"]["w"]
+    assert "model" in str(enc_qkv.sharding.spec), enc_qkv.sharding
+    vst, vtp_loss, _ = vtp.train_step(vst, batch, jax.random.PRNGKey(5))
+    assert abs(float(vref) - float(vtp_loss)) < 1e-4, \
+        (float(vref), float(vtp_loss))
