@@ -161,6 +161,20 @@ class CheckpointManager:
         return ocp.PyTreeCheckpointer().restore(path)
 
 
+def place_like(tree: Dict[str, Any], like: Dict[str, Any]) -> Dict[str, Any]:
+    """Device_put restored host leaves with the shardings of a template
+    state (an ``init_state`` output), so TP/PP/replicated placement
+    survives ``--resume`` — handing raw numpy to the jitted step would let
+    jit re-place everything with its defaults, silently dropping the
+    mesh layout the task chose (and, at XL scale, materialising a full
+    replica per device)."""
+    def put(r, t):
+        if hasattr(t, "sharding"):
+            return jax.device_put(np.asarray(r), t.sharding)
+        return r
+    return jax.tree_util.tree_map(put, tree, like)
+
+
 def merge_subtree(params: Dict[str, Any], loaded: Dict[str, Any],
                   key: str = "encoder") -> Dict[str, Any]:
     """Stage-2 warm start: replace ``params[key]`` with ``loaded[key]``

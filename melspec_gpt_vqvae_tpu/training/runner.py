@@ -26,7 +26,7 @@ import numpy as np
 from ..parallel.mesh import is_primary
 from ..parallel.reduce import cross_process_sum
 from ..utils.profiling import StepTimer
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, place_like
 from .logging import TBLogger
 
 
@@ -70,7 +70,7 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
         restored = ckpt.restore(resume, template={
             "state": jax.tree_util.tree_map(np.asarray, state),
             "epoch": 0})
-        state = restored["state"]
+        state = place_like(restored["state"], state)
         start_epoch = int(restored["epoch"]) + 1
         print(f"Restored from {resume} at epoch {start_epoch}")
 
@@ -142,7 +142,7 @@ def validate_gpt(task, dm, *, ckpt: CheckpointManager,
     if resume:
         restored = ckpt.restore(resume, template={
             "state": jax.tree_util.tree_map(np.asarray, state), "epoch": 0})
-        state = restored["state"]
+        state = place_like(restored["state"], state)
     val_sum, val_count = 0.0, 0.0
     for i, batch in enumerate(dm.val_dataloader()):
         if limit_val_batches and i >= limit_val_batches:
@@ -175,7 +175,7 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
         restored = ckpt.restore(resume, template={
             "state": jax.tree_util.tree_map(np.asarray, state),
             "epoch": 0, "extras": extras})
-        state = restored["state"]
+        state = place_like(restored["state"], state)
         extras = restored["extras"]
         start_epoch = int(restored["epoch"]) + 1
         print(f"Restored from {resume} at epoch {start_epoch}")
@@ -254,7 +254,7 @@ def evaluate_vae(task, dm, *, split: str = "val",
         restored = ckpt.restore(resume, template={
             "state": jax.tree_util.tree_map(np.asarray, state),
             "epoch": 0, "extras": {"best_loss": 0.0, "pre_mi": 0.0}})
-        state = restored["state"]
+        state = place_like(restored["state"], state)
     loader = dm.test_dataloader() if split == "test" else dm.val_dataloader()
     rng = jax.random.PRNGKey(0)
     # ONE loader pass: eval metrics are scalars; MI/AU and IW-NLL reuse the

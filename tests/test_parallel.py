@@ -184,3 +184,20 @@ def test_tp_task_init_state_shards_and_matches_dp():
     vst, vtp_loss, _ = vtp.train_step(vst, batch, jax.random.PRNGKey(5))
     assert abs(float(vref) - float(vtp_loss)) < 1e-4, \
         (float(vref), float(vtp_loss))
+
+
+def test_place_like_preserves_tp_sharding_on_restore(params):
+    """Resume must keep the task's mesh placement: place_like re-places
+    restored host-numpy leaves with the template state's shardings
+    (regression — raw numpy handed to the jitted step let jit re-place
+    everything, silently dropping TP/PP layout)."""
+    from melspec_gpt_vqvae_tpu.training.checkpoint import place_like
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = shard_gpt_params(mesh, params)
+    host = jax.tree_util.tree_map(np.asarray, sharded)
+    placed = place_like(host, sharded)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(placed):
+        want = dict(jax.tree_util.tree_leaves_with_path(sharded))[path]
+        assert leaf.sharding == want.sharding, jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(want))
