@@ -233,10 +233,13 @@ def main(args):
 
     def _restored_state(which):
         import utils as root_utils  # noqa: F401  (keeps parity surface)
+        from melspec_gpt_vqvae_tpu.training.checkpoint import (
+            place_like, shape_template)
         state = task.init_state(args.seed)
-        template = {"state": jax.tree_util.tree_map(np.asarray, state),
+        template = {"state": shape_template(state),
                     "epoch": 0, "extras": {"best_loss": 1e4, "pre_mi": 0.0}}
-        return ckpt.restore(which, template=template)["state"]
+        return place_like(ckpt.restore(which, template=template)["state"],
+                          state)
 
     def _limited_val():
         for i, b in enumerate(dm.val_dataloader()):

@@ -72,9 +72,11 @@ def main(args):
     state = task.init_state(jax.random.PRNGKey(args.seed))
     start_epoch = 0
     if args.resume:
+        from melspec_gpt_vqvae_tpu.training.checkpoint import (place_like,
+                                                               shape_template)
         restored = ckpt.restore(args.resume, template={
-            "state": jax.tree_util.tree_map(np.asarray, state), "epoch": 0})
-        state = restored["state"]
+            "state": shape_template(state), "epoch": 0})
+        state = place_like(restored["state"], state)
         start_epoch = int(restored["epoch"]) + 1
 
     def batch_images(batch):

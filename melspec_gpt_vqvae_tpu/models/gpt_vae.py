@@ -282,8 +282,10 @@ def loss_iw(params: Params, cfgs: VAEConfigs, key: jax.Array,
     mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
                                  pp=pp)
     kl = gaussian_kl(mu, logvar)
+    # pass the posterior through so nll_iw does not trace a second
+    # encoder forward (CSE across remat-wrapped scans is not guaranteed)
     nll = nll_iw(params, cfgs, k2, x, nsamples=nsamples, ns=ns,
-                 use_pallas=use_pallas, pp=pp)
+                 use_pallas=use_pallas, pp=pp, posterior=(mu, logvar))
     return nll + kl_weight * kl, nll, kl
 
 
@@ -359,14 +361,16 @@ def log_prior(z: jnp.ndarray) -> jnp.ndarray:
 
 def nll_iw(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
            nsamples: int = 500, ns: int = 10, *,
-           use_pallas=None, pp=None) -> jnp.ndarray:
+           use_pallas=None, pp=None, posterior=None) -> jnp.ndarray:
     """IW estimate of -log p(x) per item -> (B,).
 
     -log p(x) ~= -[logsumexp_i (log p(x|z_i) + log p(z_i) - log q(z_i|x))
                    - log nsamples],  z_i ~ q(z|x), in chunks of ``ns``.
+    ``posterior``: optional precomputed (mu, logvar) from a caller that
+    already ran the encoder (loss_iw), saving a duplicate forward.
     """
-    mu, logvar = encoder_forward(params, cfgs, x, use_pallas=use_pallas,
-                                 pp=pp)
+    mu, logvar = posterior if posterior is not None else encoder_forward(
+        params, cfgs, x, use_pallas=use_pallas, pp=pp)
     chunks = max(1, nsamples // ns)
 
     def one_chunk(k):
@@ -383,24 +387,6 @@ def nll_iw(params: Params, cfgs: VAEConfigs, key: jax.Array, x: jnp.ndarray,
     lls = jax.lax.map(one_chunk, keys)                     # (chunks, B, ns)
     lls = jnp.moveaxis(lls, 0, 1).reshape(x.shape[0], -1)  # (B, chunks*ns)
     return -(log_sum_exp(lls, axis=1) - math.log(lls.shape[1]))
-
-
-def calc_iwnll(params: Params, cfgs: VAEConfigs, key: jax.Array, batches,
-               nsamples: int = 500, ns: int = 10):
-    """Corpus IW-NLL + PPL over an eval loader (reference driver:
-    utils.py:50-77).  ``batches`` yields (B, T) token arrays."""
-    nll_total, words, sents = 0.0, 0, 0
-    fn = jax.jit(lambda p, k, x: nll_iw(p, cfgs, k, x,
-                                        nsamples=nsamples, ns=ns))
-    for x in batches:
-        x = jnp.asarray(x)
-        key, k = jax.random.split(key)
-        nll_total += float(jnp.sum(fn(params, k, x)))
-        words += (x.shape[1] - 1) * x.shape[0]
-        sents += x.shape[0]
-    nll = nll_total / sents
-    ppl = math.exp(nll * sents / words)
-    return nll, ppl
 
 
 # ---------------------------------------------------------------------------

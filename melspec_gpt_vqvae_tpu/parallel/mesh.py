@@ -108,6 +108,14 @@ def put_batch(mesh: Mesh, x):
     sharding = batch_sharding(mesh, max(x.ndim, 1))
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    if DATA_AXIS not in mesh.shape:
+        # the loader gives each process a DIFFERENT local shard; declaring
+        # it replicated (the no-data-axis sharding) would silently train
+        # each process on its own disjoint slice with no gradient psum
+        raise ValueError(
+            "multi-process run with a mesh that has no 'data' axis: "
+            "per-host batch shards cannot be assembled (add data=P to "
+            "--mesh, e.g. data=2,pipe=4)")
     return jax.make_array_from_process_local_data(sharding, x)
 
 

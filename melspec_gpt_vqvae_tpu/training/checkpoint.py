@@ -89,9 +89,16 @@ class CheckpointManager:
         last = os.path.join(self.dirpath, "last")
         self._ckptr.save(last, state, force=True)
         self.meta["last_step"] = int(step)
-        improved = metric is not None and (
-            self.meta.get("best_metric") is None
-            or float(metric) < float(self.meta["best_metric"]))
+        # mode=min with NaN hygiene: a NaN metric never counts as an
+        # improvement (float('nan') < x is always False BOTH ways, so one
+        # divergent epoch would otherwise wedge `best` forever), and a NaN
+        # that somehow landed in meta.json is replaced by the first finite
+        # metric.
+        prev = self.meta.get("best_metric")
+        finite = metric is not None and float(metric) == float(metric)
+        improved = finite and (
+            prev is None or float(prev) != float(prev)
+            or float(metric) < float(prev))
         if improved:
             self.meta["best_metric"] = float(metric)
             self.meta["best_step"] = int(step)
@@ -100,6 +107,9 @@ class CheckpointManager:
             # Only the primary copies last->best: every process sees the
             # same global metric and updates its meta, but concurrent
             # copytree/os.replace on a shared checkpoint dir would race.
+            # meta.json is written AFTER os.replace lands so a crash
+            # mid-copy cannot record a best_metric whose best/ dir holds
+            # the previous epoch's params (phantom best).
             def _copy_best():
                 self._ckptr.wait_until_finished()
                 tmp = best + ".tmp"
@@ -107,12 +117,13 @@ class CheckpointManager:
                 shutil.copytree(last, tmp)
                 shutil.rmtree(best, ignore_errors=True)
                 os.replace(tmp, best)
+                self._write_meta()
 
             if is_primary():
                 self._pending = threading.Thread(target=_copy_best,
                                                  daemon=True)
                 self._pending.start()
-        if is_primary():
+        elif is_primary():
             self._write_meta()
 
     def restore(self, which: str = "last",
@@ -140,6 +151,12 @@ class CheckpointManager:
                     if os.path.exists(cand):
                         path = cand
                         break
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no {which!r} checkpoint found: searched {path} and every "
+                f"version_* sibling under "
+                f"{os.path.dirname(self.dirpath)} (a run with "
+                f"--ckpt_every 0/-1 may only ever write 'last')")
         if template is not None:
             # Checkpoints written off the remote backend hold live jax
             # arrays; ask orbax for host numpy explicitly (a bare numpy
@@ -159,6 +176,18 @@ class CheckpointManager:
         codebook ckpt; reference raw ``load_state_dict``:
         minGPT.py:242-243)."""
         return ocp.PyTreeCheckpointer().restore(path)
+
+
+def shape_template(tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Zero-transfer restore template: shapes/dtypes only
+    (``ShapeDtypeStruct`` satisfies ``restore()``'s RestoreArgs probe).
+    ``tree_map(np.asarray, state)`` would materialise the whole
+    freshly-initialised state on the host — several GB through the slow
+    remote-backend tunnel at XL scale — and raises outright on
+    non-fully-addressable (multi-process TP/PP-sharded) arrays."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") and hasattr(x, "dtype") else x, tree)
 
 
 def place_like(tree: Dict[str, Any], like: Dict[str, Any]) -> Dict[str, Any]:

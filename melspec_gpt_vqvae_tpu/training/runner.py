@@ -26,7 +26,8 @@ import numpy as np
 from ..parallel.mesh import is_primary
 from ..parallel.reduce import cross_process_sum
 from ..utils.profiling import StepTimer
-from .checkpoint import CheckpointManager, place_like
+from .checkpoint import (CheckpointManager, place_like,
+                         shape_template)
 from .logging import TBLogger
 
 
@@ -68,7 +69,7 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
     start_epoch = 0
     if resume:
         restored = ckpt.restore(resume, template={
-            "state": jax.tree_util.tree_map(np.asarray, state),
+            "state": shape_template(state),
             "epoch": 0})
         state = place_like(restored["state"], state)
         start_epoch = int(restored["epoch"]) + 1
@@ -105,8 +106,11 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
                     (i % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
 
+        # ONE d2h fetch for the whole epoch: per-element _host() would
+        # issue len(losses) sequential round trips through the remote
+        # tunnel (seconds per epoch at thousands of steps)
         train_loss = _global_mean(
-            float(np.sum([_host(l) for l in losses])), len(losses)) \
+            float(jnp.sum(jnp.stack(losses))), len(losses)) \
             if losses else float("nan")
         # validation (loss sums weighted by batch size, reduced globally)
         val_sum, val_count = 0.0, 0.0
@@ -141,7 +145,7 @@ def validate_gpt(task, dm, *, ckpt: CheckpointManager,
     state = task.init_state()
     if resume:
         restored = ckpt.restore(resume, template={
-            "state": jax.tree_util.tree_map(np.asarray, state), "epoch": 0})
+            "state": shape_template(state), "epoch": 0})
         state = place_like(restored["state"], state)
     val_sum, val_count = 0.0, 0.0
     for i, batch in enumerate(dm.val_dataloader()):
@@ -173,7 +177,7 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
     extras: Dict[str, Any] = {"best_loss": 1e4, "pre_mi": 0.0}
     if resume:
         restored = ckpt.restore(resume, template={
-            "state": jax.tree_util.tree_map(np.asarray, state),
+            "state": shape_template(state),
             "epoch": 0, "extras": extras})
         state = place_like(restored["state"], state)
         extras = restored["extras"]
@@ -252,7 +256,7 @@ def evaluate_vae(task, dm, *, split: str = "val",
     state = task.init_state()
     if resume and ckpt:
         restored = ckpt.restore(resume, template={
-            "state": jax.tree_util.tree_map(np.asarray, state),
+            "state": shape_template(state),
             "epoch": 0, "extras": {"best_loss": 0.0, "pre_mi": 0.0}})
         state = place_like(restored["state"], state)
     loader = dm.test_dataloader() if split == "test" else dm.val_dataloader()

@@ -124,8 +124,10 @@ def main():
             raise SystemExit(f"no checkpoints under {ckpt_root}")
         ckpt = CheckpointManager(os.path.join(ckpt_root, versions[-1]))
         task = GPTTask(exp)
-        template = {"state": jax.tree_util.tree_map(
-            np.asarray, task.init_state(args.seed)), "epoch": 0}
+        from melspec_gpt_vqvae_tpu.training.checkpoint import \
+            shape_template
+        template = {"state": shape_template(task.init_state(args.seed)),
+                    "epoch": 0}
         restored = ckpt.restore(args.resume, template=template)
         gpt_params = restored["state"]["params"]
         print(f"GPT: restored {args.resume} "

@@ -201,3 +201,16 @@ def test_place_like_preserves_tp_sharding_on_restore(params):
         want = dict(jax.tree_util.tree_leaves_with_path(sharded))[path]
         assert leaf.sharding == want.sharding, jax.tree_util.keystr(path)
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(want))
+
+
+def test_put_batch_rejects_multiprocess_dataless_mesh(monkeypatch):
+    """Multi-process + a mesh with no data axis must raise: the loader
+    gives each process a different shard, and declaring it replicated
+    would silently train each process on its own slice (no gradient
+    psum)."""
+    from melspec_gpt_vqvae_tpu.parallel import mesh as M
+
+    m = make_mesh({"pipe": 4})
+    monkeypatch.setattr(M.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="no 'data' axis"):
+        M.put_batch(m, np.zeros((8, 4), np.float32))

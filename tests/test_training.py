@@ -230,3 +230,52 @@ def test_checkpoint_resume_falls_back_to_previous_version(tmp_path):
                 "epoch": 0}
     restored = new.restore("last", template=template)
     assert int(restored["epoch"]) == 3
+
+
+def test_checkpoint_shape_template_restore(tmp_path):
+    """restore() with a zero-transfer ShapeDtypeStruct template (what the
+    runner now builds — tree_map(np.asarray, state) pulled the whole
+    init state to host and raises on non-addressable sharded arrays)."""
+    from melspec_gpt_vqvae_tpu.training.checkpoint import (place_like,
+                                                           shape_template)
+    task = GPTTask(_exp(), make_mesh())
+    state = task.init_state(0)
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save({"state": state, "epoch": 3}, step=10, metric=1.0)
+    ckpt.wait()
+    restored = ckpt.restore("last", template={
+        "state": shape_template(state), "epoch": 0})
+    assert int(restored["epoch"]) == 3
+    placed = place_like(restored["state"], state)
+    np.testing.assert_allclose(
+        np.asarray(placed["params"]["tok_emb"]),
+        np.asarray(state["params"]["tok_emb"]))
+
+
+def test_checkpoint_nan_metric_never_becomes_best(tmp_path):
+    """A divergent (NaN) epoch must not wedge best tracking: NaN is never
+    an improvement, and a stored NaN is replaced by the first finite
+    metric (float comparisons with NaN are always False both ways)."""
+    task = GPTTask(_exp(), make_mesh())
+    state = task.init_state(0)
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save({"state": state, "epoch": 0}, step=1, metric=float("nan"))
+    ckpt.wait()
+    assert ckpt.meta.get("best_metric") is None
+    ckpt.save({"state": state, "epoch": 1}, step=2, metric=2.0)
+    ckpt.wait()
+    assert ckpt.meta["best_metric"] == 2.0
+    # simulate a NaN persisted by an older run: still recoverable
+    ckpt.meta["best_metric"] = float("nan")
+    ckpt.save({"state": state, "epoch": 2}, step=3, metric=5.0)
+    ckpt.wait()
+    assert ckpt.meta["best_metric"] == 5.0
+
+
+def test_checkpoint_restore_missing_raises_clearly(tmp_path):
+    """--resume best on a run that only ever wrote 'last' must fail with
+    a message naming the searched locations, not a deep orbax error."""
+    import pytest as _pytest
+    ckpt = CheckpointManager(str(tmp_path / "ckpts" / "version_0"))
+    with _pytest.raises(FileNotFoundError, match="no 'best' checkpoint"):
+        ckpt.restore("best")
