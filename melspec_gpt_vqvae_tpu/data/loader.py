@@ -18,6 +18,17 @@ import numpy as np
 
 
 def _stack_items(items: List[Dict]) -> Dict:
+    keys = set(items[0])
+    for it in items[1:]:
+        if set(it) != keys:
+            # e.g. some clips have the codes_10s/_code.npy sibling and
+            # some don't — stacking item-0's keys would either KeyError
+            # mid-epoch or silently drop 'codes' for the whole batch
+            raise ValueError(
+                "batch items disagree on keys "
+                f"{sorted(keys.symmetric_difference(it))} — a clip is "
+                "missing a sibling file (codes_10s?); re-run "
+                "feature_extraction/extract_codes.py or fix the split")
     out: Dict = {}
     for k in items[0]:
         vals = [it[k] for it in items]
@@ -136,25 +147,41 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()   # consumer gone (early break / GC)
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    if not _put(batch):
+                        return   # abandoned iterator: exit, don't block
             except BaseException as e:  # surface loader errors to the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # a consumer that stops early (limit_*_batches loops) must not
+            # leave the worker blocked on q.put forever, pinning batches
+            stop.set()
 
     def _iter_pool(self) -> Iterator[Dict]:
         """num_workers > 1: batches build concurrently in a thread pool and

@@ -85,7 +85,8 @@ def init_gpt_params(key: jax.Array, cfg: GPTConfig) -> Params:
 
 
 def count_params(params: Params) -> int:
-    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    from ..utils.profiling import count_params as _cp   # one definition
+    return _cp(params)
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +365,10 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
 
     Returns (logits at the last position (B, out), cache).
     """
+    # Embedding kept inline (vs sharing embed_tokens): the decode path
+    # deliberately leaves the residual stream in cfg.dtype (bf16 in
+    # serving) for HBM bandwidth, where gpt_apply's mixed-precision mode
+    # carries f32 between blocks for training stability.
     parts = []
     if cond_emb is not None:
         parts.append(cond_emb.astype(cfg.dtype))
@@ -371,6 +376,9 @@ def gpt_prefill(params: Params, cfg: GPTConfig, cache: Dict,
         parts.append(jnp.take(params["tok_emb"], idx, axis=0))
     x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     t0 = x.shape[1]
+    if t0 > cfg.block_size:
+        raise ValueError(f"prompt length {t0} > block_size "
+                         f"{cfg.block_size}")
     x = x + params["pos_emb"][:t0]
 
     def body(x, p):

@@ -216,16 +216,18 @@ def mel_to_stft(mel_linear: jnp.ndarray, cfg: MelConfig = MelConfig(),
     ``lax.fori_loop`` of matmuls so it stays on-device and batches.
     Returns |STFT| (power 1/spec_power applied), shape (..., n_freq, T).
     """
-    basis = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
-                                       cfg.fmin, cfg.fmax))  # (M, F)
+    basis_np = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                              cfg.fmin, cfg.fmax)  # (M, F) host numpy
+    basis = jnp.asarray(basis_np)
     # init: transpose projection (librosa uses nnls on B @ S = mel)
     bt_mel = jnp.einsum("mf,...mt->...ft", basis, mel_linear)
     gram_diag_inv = 1.0 / (jnp.sum(basis * basis, axis=0) + 1e-10)  # (F,)
     s0 = bt_mel * gram_diag_inv[..., :, None]
-    # Lipschitz step from the gram spectral norm (power iteration, numpy-free)
-    gram = basis.T @ basis  # (F, F)
-    lip = jnp.linalg.norm(gram, ord=2)
-    step = 1.0 / (lip + 1e-10)
+    # Lipschitz step from the gram spectral norm — the filterbank is a
+    # trace-time constant, so this is a Python float (a jnp.linalg.norm
+    # here would lower a 513x513 SVD custom call into every program; XLA
+    # does not constant-fold it)
+    step = 1.0 / (float(np.linalg.norm(basis_np.T @ basis_np, 2)) + 1e-10)
 
     def body(_, s):
         resid = jnp.einsum("mf,...ft->...mt", basis, s) - mel_linear

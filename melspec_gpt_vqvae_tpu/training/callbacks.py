@@ -244,16 +244,21 @@ def metrics_epoch_end(task, dm, log: TBLogger,
     tracking at validation end
     (reference: GPT_VAE_callbacks.py:421-522)."""
 
-    def cb(state, epoch, agg: Dict[str, float], extras: Dict[str, Any]):
+    def cb(state, epoch, agg: Dict[str, float], extras: Dict[str, Any],
+           tokens=None):
         if not is_primary():
             return
-        # keep only the (B, T) token arrays — hoarding whole batches would
-        # hold every 80x848 f32 `image` spec of the val set in memory
-        tokens = []
-        for i, b in enumerate(dm.val_dataloader()):
-            if limit_batches and i >= limit_batches:
-                break
-            tokens.append(np.asarray(task.batch_tokens(b)))
+        # fit_vae hands down the (B, T) token arrays it already extracted
+        # during ITS val pass (one loader pass per epoch); the re-read
+        # below is only the fallback for direct callers.  Either way only
+        # the tiny token arrays are held — hoarding whole batches would
+        # keep every 80x848 f32 `image` spec of the val set in memory.
+        if tokens is None:
+            tokens = []
+            for i, b in enumerate(dm.val_dataloader()):
+                if limit_batches and i >= limit_batches:
+                    break
+                tokens.append(np.asarray(task.batch_tokens(b)))
         if not tokens:
             return
         mi, au, _ = task.calc_mi_au(state, tokens)

@@ -119,10 +119,15 @@ class GPTTask:
         shapes = jax.eval_shape(
             lambda k: init_gpt_params(k, self.cfg), jax.random.PRNGKey(0))
         n = count_params(shapes)
-        b, t = self.exp.train.batch_size, self.cfg.block_size - 1
+        # batch_size is PER PROCESS (each host loads its shard of the
+        # global batch); StepTimer's contract is global-batch FLOPs over
+        # all devices' peak, and tick() receives local rows
+        b = self.exp.train.batch_size * jax.process_count()
+        t = self.cfg.block_size - 1
         fwd = gpt_fwd_flops(n, b, t, self.cfg.n_layer, self.cfg.n_embd)
         return StepTimer(window, tokens_per_example=t,
-                         flops_per_step=3.0 * fwd)
+                         flops_per_step=3.0 * fwd,
+                         batch_scale=jax.process_count())
 
     def init_state(self, seed: int = 783435) -> TrainState:
         params = init_gpt_params(jax.random.PRNGKey(seed), self.cfg)

@@ -56,12 +56,18 @@ class TBLogger:
             self._writer.add_image(tag, np.asarray(img), step,
                                    dataformats=dataformats)
 
-    def spectrogram(self, tag: str, spec: np.ndarray, step: int):
-        """(F, T) in [-1, 1] or [0, 1]; flipped so low mels are at the bottom
-        (reference flips dims for display: GPT_callbacks.py:141-143)."""
+    def spectrogram(self, tag: str, spec: np.ndarray, step: int, *,
+                    input_range: str = "pm1"):
+        """(F, T), flipped so low mels are at the bottom (reference flips
+        dims for display: GPT_callbacks.py:141-143).  ``input_range``:
+        'pm1' = [-1, 1] (the dataset/codec convention, remapped to [0, 1])
+        or 'unit' = already [0, 1].  Explicit because a min()-based guess
+        mis-renders loud clips whose [-1,1] spec happens to be all >= 0."""
         s = np.asarray(spec, np.float32)
-        if s.min() < -0.01:
+        if input_range == "pm1":
             s = (s + 1.0) / 2.0
+        elif input_range != "unit":
+            raise ValueError(f"input_range {input_range!r}")
         s = np.clip(s, 0.0, 1.0)[::-1, :]   # flip frequency axis
         self.image(tag, s[..., None], step)
 

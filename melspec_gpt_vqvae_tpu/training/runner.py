@@ -217,11 +217,14 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
         # per-epoch pinned eval key so the monitored metric is reproducible
         epoch_key = jax.random.fold_in(eval_base, epoch)
         outputs = []
+        val_tokens = []   # (B, T) arrays for the epoch-end MI/AU callback
         for i, batch in enumerate(val_loader):
             if limit_val_batches and i >= limit_val_batches:
                 break
             outputs.append(task.eval_step(state, batch,
                                           jax.random.fold_in(epoch_key, i)))
+            if epoch_end_cb and hasattr(task, "batch_tokens"):
+                val_tokens.append(np.asarray(task.batch_tokens(batch)))
         agg = {}
         if outputs:
             sums = cross_process_sum(task.sum_outputs(outputs))
@@ -240,7 +243,14 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             ckpt.save({"state": state, "epoch": epoch, "extras": extras},
                       step, metric=agg.get("loss"))
         if epoch_end_cb:
-            epoch_end_cb(state, epoch, agg, extras)
+            # reuse this pass's token arrays (no second val-loader read);
+            # callbacks without a tokens kwarg keep the old 4-arg call
+            import inspect
+            if "tokens" in inspect.signature(epoch_end_cb).parameters:
+                epoch_end_cb(state, epoch, agg, extras,
+                             tokens=val_tokens or None)
+            else:
+                epoch_end_cb(state, epoch, agg, extras)
     ckpt.wait()   # async save must be durable before the fit returns
     return state
 

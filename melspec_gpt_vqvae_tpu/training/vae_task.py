@@ -112,14 +112,16 @@ class VAETask:
         from ..utils.profiling import StepTimer, count_params, gpt_fwd_flops
         shapes = jax.eval_shape(
             lambda k: V.init_vae_params(k, self.cfgs), jax.random.PRNGKey(0))
-        b = self.exp.train.batch_size
+        # per-process batch -> global (see GPTTask.perf_timer)
+        b = self.exp.train.batch_size * jax.process_count()
         enc, dec = self.cfgs.encoder, self.cfgs.decoder
         fwd = (gpt_fwd_flops(count_params(shapes["encoder"]), b,
                              enc.block_size, enc.n_layer, enc.n_embd)
                + gpt_fwd_flops(count_params(shapes["decoder"]), b,
                                dec.block_size, dec.n_layer, dec.n_embd))
         return StepTimer(window, tokens_per_example=enc.block_size,
-                         flops_per_step=3.0 * fwd)
+                         flops_per_step=3.0 * fwd,
+                         batch_scale=jax.process_count())
 
     def init_state(self, seed: int = 783435) -> TrainState:
         params = V.init_vae_params(jax.random.PRNGKey(seed), self.cfgs)

@@ -49,10 +49,14 @@ class StepTimer:
     V5E_PEAK_FLOPS = 197e12   # bf16, per chip
 
     def __init__(self, window: int = 50, tokens_per_example: int = 0,
-                 flops_per_step: float = 0.0, n_devices: int = 0):
+                 flops_per_step: float = 0.0, n_devices: int = 0,
+                 batch_scale: int = 1):
         self.window = window
         self.tokens_per_example = tokens_per_example
         self.flops_per_step = flops_per_step
+        # tick() receives this process's LOCAL rows; batch_scale (=
+        # process_count) converts examples/tokens-per-sec to global
+        self.batch_scale = batch_scale
         # flops_per_step covers the GLOBAL batch, so MFU divides by the
         # peak of every device carrying it (all processes' chips), not one
         if not n_devices:
@@ -65,7 +69,7 @@ class StepTimer:
 
     def tick(self, batch_size: int) -> Optional[dict]:
         self.steps += 1
-        self.examples += batch_size
+        self.examples += batch_size * self.batch_scale
         if self.steps % self.window:
             return None
         dt = time.time() - self.t0
