@@ -461,12 +461,17 @@ def active_units_from_means(means: jnp.ndarray,
 
 
 def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
-                     batches, delta: float = 0.01):
+                     batches, delta: float = 0.01, gather_fn=None):
     """Stream posterior params over eval batches, then compute MI + AU.
 
     ``batches`` yields (B, T) token arrays (host loop; each encoder forward
-    is jitted).
+    is jitted).  ``gather_fn`` (optional, ``(N_local, D) -> (N_global, D)``
+    host arrays) pools the posteriors across processes first, so the
+    statistics cover the FULL corpus under multi-process eval — matching
+    the reference, which computes MI/AU over the whole val set on every
+    rank (callbacks/GPT_VAE_callbacks.py:429-436).
     """
+    import numpy as np
     mus, logvars = [], []
     # params passed as a traced arg (closing over them would bake 24L of
     # weights into the jaxpr as constants)
@@ -477,6 +482,9 @@ def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
         logvars.append(logvar)
     mu = jnp.concatenate(mus, axis=0)
     logvar = jnp.concatenate(logvars, axis=0)
+    if gather_fn is not None:
+        mu = jnp.asarray(gather_fn(np.asarray(mu)))
+        logvar = jnp.asarray(gather_fn(np.asarray(logvar)))
     mi = mi_from_posteriors(key, mu, logvar)
     au, au_var = active_units_from_means(mu, delta)
     return float(mi), int(au), au_var

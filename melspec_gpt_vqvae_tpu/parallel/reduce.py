@@ -35,6 +35,49 @@ def _default_transport(vec: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(vec))
 
 
+def cross_process_concat(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process ``(N_p, D)`` arrays along axis 0, in
+    process order.  Identity when single-process with no injected
+    transport.
+
+    Used to pool posterior parameters (mu/logvar) so corpus statistics
+    (MI / active units) are computed over the FULL eval corpus under
+    multi-process execution — the reference computes them over the whole
+    val set on every rank (callbacks/GPT_VAE_callbacks.py:429-436 via
+    ``pl_module.val_data``), so per-shard MI would silently deviate.
+
+    Unequal ``N_p`` is handled: a (1,)-vector gather first exchanges row
+    counts, locals are zero-padded to the max, and padding is sliced away
+    after the main gather.  Only the (K,) -> (P, K) transport contract is
+    used, so the test seam and ``process_allgather`` both work.
+    """
+    transport = _transport
+    if transport is None:
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        transport = _default_transport
+    arr = np.asarray(arr, np.float32)
+    n, d = arr.shape
+    counts = np.asarray(
+        transport(np.asarray([float(n)], np.float64))).reshape(-1)
+    counts = counts.astype(np.int64)
+    max_n = int(counts.max())
+    if max_n != n:
+        arr = np.pad(arr, ((0, max_n - n), (0, 0)))
+    gathered = np.asarray(transport(arr.reshape(-1)))
+    gathered = gathered.reshape(len(counts), max_n, d)
+    return np.concatenate([g[:c] for g, c in zip(gathered, counts)], axis=0)
+
+
+def concat_gather_fn() -> Optional[Callable[[np.ndarray], np.ndarray]]:
+    """``cross_process_concat`` when it would do anything, else None — the
+    single-process fast path keeps posterior tensors on device instead of
+    round-tripping them through the host."""
+    if _transport is not None or jax.process_count() > 1:
+        return cross_process_concat
+    return None
+
+
 def cross_process_sum(metrics: Dict[str, float]) -> Dict[str, float]:
     """Sum each scalar metric across all processes.
 

@@ -246,8 +246,6 @@ def metrics_epoch_end(task, dm, log: TBLogger,
 
     def cb(state, epoch, agg: Dict[str, float], extras: Dict[str, Any],
            tokens=None):
-        if not is_primary():
-            return
         # fit_vae hands down the (B, T) token arrays it already extracted
         # during ITS val pass (one loader pass per epoch); the re-read
         # below is only the fallback for direct callers.  Either way only
@@ -261,7 +259,14 @@ def metrics_epoch_end(task, dm, log: TBLogger,
                 tokens.append(np.asarray(task.batch_tokens(b)))
         if not tokens:
             return
+        # calc_mi_au is COLLECTIVE (cross-process posterior gather) and so
+        # runs on every process — matching the reference, where each rank
+        # computes full-corpus MI/AU (GPT_VAE_callbacks.py:429-436); only
+        # the logging below is primary-gated
         mi, au, _ = task.calc_mi_au(state, tokens)
+        extras["pre_mi"] = mi
+        if not is_primary():
+            return
         step = int(jax.device_get(state["step"]))
         log.scalar("metrics/mutual_info", mi, step)
         log.scalar("metrics/active_units", au, step)
@@ -269,7 +274,6 @@ def metrics_epoch_end(task, dm, log: TBLogger,
             log.scalar("metrics/ppl", agg["ppl"], step)
             log.scalar("metrics/nll", agg["nll"], step)
         log.scalar("metrics/starting_best_loss", extras["best_loss"], step)
-        extras["pre_mi"] = mi
         print(f"epoch {epoch}: mutual_info {mi:.4f} active_units {au}")
 
     return cb

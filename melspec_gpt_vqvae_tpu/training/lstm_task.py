@@ -171,7 +171,9 @@ class LSTMVAETask:
     # ------------------------------------------------------------------
 
     def calc_mi_au(self, state, batches, key=None):
-        """Corpus MI + AU (reference: Lit_vae.py:341-453)."""
+        """Corpus MI + AU (reference: Lit_vae.py:341-453).  COLLECTIVE
+        under multi-process execution (posterior gather), like
+        VAETask.calc_mi_au — every process must call it."""
         key = key if key is not None else jax.random.PRNGKey(0)
         mus, logvars = [], []
         fwd = jax.jit(lambda p, x: L.lstm_encoder_forward(p, self.cfg, x))
@@ -181,8 +183,14 @@ class LSTMVAETask:
             mu, lv = fwd(state["params"]["encoder"], x)
             mus.append(np.asarray(mu))
             logvars.append(np.asarray(lv))
-        mu = jnp.asarray(np.concatenate(mus, axis=0))
-        lv = jnp.asarray(np.concatenate(logvars, axis=0))
+        from ..parallel.reduce import concat_gather_fn
+        gather = concat_gather_fn()
+        mu_np = np.concatenate(mus, axis=0)
+        lv_np = np.concatenate(logvars, axis=0)
+        if gather is not None:
+            mu_np, lv_np = gather(mu_np), gather(lv_np)
+        mu = jnp.asarray(mu_np)
+        lv = jnp.asarray(lv_np)
         mi = float(G.mi_from_posteriors(key, mu, lv))
         au, au_var = G.active_units_from_means(mu)
         return mi, int(au), au_var

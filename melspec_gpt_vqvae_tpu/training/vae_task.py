@@ -221,10 +221,16 @@ class VAETask:
 
     def calc_mi_au(self, state, batches, key=None):
         """Corpus MI + AU over an eval loader
-        (reference: Lit_GPT_VAE.py:395-525)."""
+        (reference: Lit_GPT_VAE.py:395-525).
+
+        COLLECTIVE under multi-process execution: the posteriors are
+        gathered across processes (reduce.cross_process_concat) so MI/AU
+        cover the full corpus — every process must call this."""
         key = key if key is not None else jax.random.PRNGKey(0)
+        from ..parallel.reduce import concat_gather_fn
         return V.corpus_mi_and_au(state["params"], self.cfgs, key,
-                                  self._tokens_iter(batches))
+                                  self._tokens_iter(batches),
+                                  gather_fn=concat_gather_fn())
 
     def calc_iwnll(self, state, batches, nsamples: int = 500, ns: int = 10,
                    key=None):

@@ -115,6 +115,72 @@ def _setup_run(tree: str, batch_size: int):
     return task, dm
 
 
+def _setup_vae_run(tree: str, batch_size: int, pidx=None, pcount=None):
+    """Tiny VAE task + loader over the same synthetic tree (for the
+    corpus-MI/AU collective check).  pidx/pcount override the jax
+    process identity so a single process can emulate a shard view."""
+    import jax
+    from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
+                                               GPTConfig, TrainConfig,
+                                               VAEConfig)
+    from melspec_gpt_vqvae_tpu.data.loader import DataModule
+    from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh
+    from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
+
+    model = GPTConfig(vocab_size=16, block_size=265, n_layer=1, n_head=2,
+                      n_embd=16, class_size=None, compute_dtype="float32")
+    exp = ExperimentConfig(
+        model=model, vae=VAEConfig(nz=8),
+        train=TrainConfig(learning_rate=1e-3, epochs=1,
+                          batch_size=batch_size),
+        data=DataConfig(batch_size=batch_size))
+    dm = DataModule(batch_size=batch_size,
+                    spec_dir_path=os.path.join(
+                        tree, "features", "*", "melspec_10s_22050hz"),
+                    data_root=os.path.join(tree, "data"), seed=SEED,
+                    process_index=jax.process_index() if pidx is None
+                    else pidx,
+                    process_count=jax.process_count() if pcount is None
+                    else pcount)
+    dm.setup()
+    return VAETask(exp, steps_per_epoch=2, mesh=make_mesh()), dm
+
+
+def run_mi(args):
+    """Corpus MI/AU over the val split: 2-process shards + the collective
+    posterior gather (parallel/reduce.py::cross_process_concat over real
+    process_allgather) must reproduce the single-process full-corpus
+    values — the reference computes MI/AU over the WHOLE val set on every
+    rank (callbacks/GPT_VAE_callbacks.py:429-436)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if args.role == "mi_child":
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{args.port}",
+            num_processes=2, process_id=args.pid)
+        assert jax.process_count() == 2
+    import numpy as np
+
+    if args.role == "mi_child":
+        task, dm = _setup_vae_run(args.tree, BATCH_PER_HOST)
+        toks = [np.asarray(task.batch_tokens(b))
+                for b in dm.val_dataloader()]
+    else:
+        # single-process reference over the SAME corpus in gathered order
+        # (rank-0 shard rows then rank-1 rows): the MI estimator draws one
+        # z per posterior row, so row order must match for exact equality
+        task, dm0 = _setup_vae_run(args.tree, BATCH_PER_HOST, 0, 2)
+        _, dm1 = _setup_vae_run(args.tree, BATCH_PER_HOST, 1, 2)
+        toks = [np.asarray(task.batch_tokens(b))
+                for b in dm0.val_dataloader()]
+        toks += [np.asarray(task.batch_tokens(b))
+                 for b in dm1.val_dataloader()]
+    state = task.init_state(SEED)
+    mi, au, _ = task.calc_mi_au(state, toks)
+    print(json.dumps({"role": args.role, "pid": args.pid,
+                      "mi": mi, "au": au}), flush=True)
+
+
 def run_child(args):
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -188,9 +254,10 @@ def run_parent():
     me = os.path.abspath(__file__)
     mp_ckpt = os.path.join(tmp, "ckpt_mp")
 
-    def spawn(role, pid=None, ckpt=None, devices=4):
+    def spawn(role, pid=None, ckpt=None, devices=4, use_port=None):
         cmd = [sys.executable, me, "--role", role, "--tree", tree,
-               "--out", tmp, "--ckpt", ckpt, "--port", str(port)]
+               "--out", tmp, "--ckpt", ckpt or tmp,
+               "--port", str(use_port or port)]
         if pid is not None:
             cmd += ["--pid", str(pid)]
         return subprocess.Popen(cmd, env=_env_for(devices),
@@ -231,15 +298,45 @@ def run_parent():
     print(f"restored val loss: {r['val']} (best: {r['val_best']})")
     assert abs(r["val"] - vals[0]) < 1e-6, (r, vals)
 
+    print("corpus-MI collective: 2-process posterior gather vs "
+          "single-process full corpus...", flush=True)
+    with socket.socket() as s:       # phase-1 coordinator port may linger
+        s.bind(("localhost", 0))
+        port2 = s.getsockname()[1]
+    mprocs = [spawn("mi_child", pid=i, devices=4, use_port=port2)
+              for i in range(2)]
+    mouts = [p.communicate(timeout=600)[0] for p in mprocs]
+    for i, (p, o) in enumerate(zip(mprocs, mouts)):
+        if p.returncode != 0:
+            raise SystemExit(f"mi_child {i} failed:\n{o}")
+    mis = [_last_json(o) for o in mouts]
+    assert abs(mis[0]["mi"] - mis[1]["mi"]) < 1e-9 \
+        and mis[0]["au"] == mis[1]["au"], \
+        f"ranks disagree on the GLOBAL corpus MI/AU: {mis}"
+    msp = spawn("mi_single", devices=8)
+    o = msp.communicate(timeout=600)[0]
+    if msp.returncode != 0:
+        raise SystemExit(f"mi_single run failed:\n{o}")
+    ms = _last_json(o)
+    print(f"2-process corpus MI {mis[0]['mi']:.6f} au {mis[0]['au']} | "
+          f"single-process {ms['mi']:.6f} au {ms['au']}")
+    assert abs(mis[0]["mi"] - ms["mi"]) < 1e-6 and mis[0]["au"] == ms["au"], \
+        (mis, ms)
+
     print(json.dumps({"ok": True, "val_multiprocess": vals[0],
                       "val_singleprocess": val_single,
-                      "val_restored": r["val"]}))
+                      "val_restored": r["val"],
+                      "mi_multiprocess": mis[0]["mi"],
+                      "mi_singleprocess": ms["mi"],
+                      "au_multiprocess": mis[0]["au"],
+                      "au_singleprocess": ms["au"]}))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--role", default="parent",
-                    choices=["parent", "child", "single", "restore"])
+                    choices=["parent", "child", "single", "restore",
+                             "mi_child", "mi_single"])
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--tree", default="")
@@ -252,6 +349,8 @@ def main():
         run_child(args)
     elif args.role == "single":
         run_single(args)
+    elif args.role in ("mi_child", "mi_single"):
+        run_mi(args)
     else:
         run_restore(args)
 

@@ -42,3 +42,8 @@ def test_two_process_fit_matches_single_process():
         last["val_singleprocess"], abs=1e-4)
     assert last["val_restored"] == pytest.approx(
         last["val_multiprocess"], abs=1e-6)
+    # corpus MI/AU: the collective posterior gather makes the 2-process
+    # values equal the single-process full-corpus values
+    assert last["mi_multiprocess"] == pytest.approx(
+        last["mi_singleprocess"], abs=1e-6)
+    assert last["au_multiprocess"] == last["au_singleprocess"]

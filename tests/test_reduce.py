@@ -73,3 +73,83 @@ def test_multihost_val_equals_single_host_full_data():
 
     for k in single:
         assert multi[k] == pytest.approx(single[k], rel=1e-12), k
+
+
+# ---------------------------------------------------------------------------
+# cross-process posterior pooling (full-corpus MI/AU under multi-process)
+# ---------------------------------------------------------------------------
+
+
+def _fake_concat_transport(other_arrays):
+    """(K,) -> (P, K) transport simulating a second host for
+    cross_process_concat: a size-1 vector is the counts phase (returns the
+    other host's row count); anything else is the data phase (returns the
+    other host's rows, zero-padded to the caller's max_n).  Consecutive
+    gathers consume ``other_arrays`` in order (mu then logvar)."""
+    state = {"i": 0}
+
+    def transport(vec):
+        other = np.asarray(other_arrays[state["i"]], np.float32)
+        if vec.size == 1:
+            return np.stack([vec, np.asarray([float(len(other))],
+                                             np.float64)])
+        state["i"] += 1
+        n, d = other.shape
+        max_n = vec.size // d
+        pad = np.zeros((max_n, d), np.float32)
+        pad[:n] = other
+        return np.stack([vec, pad.reshape(-1)])
+
+    return transport
+
+
+def test_cross_process_concat_single_process_identity():
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    np.testing.assert_array_equal(R.cross_process_concat(a), a)
+    assert R.concat_gather_fn() is None
+
+
+def test_cross_process_concat_unequal_rows():
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = (100.0 + np.arange(8, dtype=np.float32)).reshape(2, 4)
+    R.set_transport(_fake_concat_transport([b]))
+    assert R.concat_gather_fn() is R.cross_process_concat
+    out = R.cross_process_concat(a)
+    np.testing.assert_array_equal(out, np.vstack([a, b]))
+
+
+def test_multihost_mi_au_covers_full_corpus():
+    """Corpus MI/AU under multi-process equal the single-process
+    full-corpus values: calc_mi_au pools the posterior shards across
+    processes (the reference computes MI/AU over the whole val set on
+    every rank — callbacks/GPT_VAE_callbacks.py:429-436)."""
+    import jax.numpy as jnp
+
+    from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
+                                               GPTConfig, TrainConfig,
+                                               VAEConfig)
+    from melspec_gpt_vqvae_tpu.models import gpt_vae as V
+    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+
+    model = GPTConfig(vocab_size=16, block_size=20, n_layer=1, n_head=2,
+                      n_embd=16, class_size=None)
+    exp = ExperimentConfig(
+        model=model, vae=VAEConfig(nz=8),
+        train=TrainConfig(learning_rate=1e-3, epochs=1, batch_size=4),
+        data=DataConfig(batch_size=4))
+    task = VAETask(exp, steps_per_epoch=2, mesh=make_mesh())
+    state = task.init_state(0)
+    rng = np.random.default_rng(3)
+    toks = [rng.integers(0, 16, (4, 20)).astype(np.int32) for _ in range(3)]
+
+    mi_full, au_full, _ = task.calc_mi_au(state, toks)  # 1-process reference
+
+    # "host A" holds batches 0-1, "host B" batch 2: the fake transport
+    # serves B's posteriors to A's mu gather then logvar gather
+    mu_b, lv_b = V.encoder_forward(state["params"], task.cfgs,
+                                   jnp.asarray(toks[2]))
+    R.set_transport(_fake_concat_transport([np.asarray(mu_b),
+                                            np.asarray(lv_b)]))
+    mi_a, au_a, _ = task.calc_mi_au(state, toks[:2])
+    assert mi_a == pytest.approx(mi_full, abs=1e-5)
+    assert au_a == au_full
