@@ -156,10 +156,25 @@ def convert_vqvae_state_dict(sd: Dict[str, np.ndarray],
 
 
 def load_vqvae_params(path: str, cfg: VQVAEConfig) -> Dict[str, Any]:
-    """Load VQModel params from a torch .pt/.ckpt or a native orbax dir."""
+    """Load VQModel params from a torch .pt/.ckpt or a native orbax dir.
+
+    Orbax leaves are restored as host numpy: a bare ``restore()`` tries to
+    re-materialise the arrays with the sharding recorded at save time,
+    which fails cross-backend (a CPU-saved tree restored under the remote
+    TPU backend has no resolvable save-time sharding).  The callers jit
+    the params onto the device themselves.
+    """
     if os.path.isdir(path):
+        import jax
         import orbax.checkpoint as ocp
-        tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        path = os.path.abspath(path)
+        ckpt = ocp.PyTreeCheckpointer()
+        meta = ckpt.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            getattr(meta, "tree", meta))
+        tree = ckpt.restore(path, args=ocp.args.PyTreeRestore(
+            restore_args=restore_args))
         return tree.get("params", tree)
     return convert_vqvae_state_dict(_load_torch_state_dict(path), cfg)
 

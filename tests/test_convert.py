@@ -196,3 +196,26 @@ def test_vqvae_conversion_shapes():
     out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
                       x, method="encode_to_indices")
     assert out.shape == (1, 8, 8)
+
+
+def test_load_vqvae_params_orbax_dir_restores_numpy(tmp_path):
+    """Orbax-dir loads must come back as HOST numpy: a bare restore()
+    re-materialises with the save-time sharding, which fails cross-backend
+    (CPU-saved tree restored under the remote TPU backend raises
+    'sharding ... Got None' — regression seen driving extract_codes.py
+    against a CPU-written vq ckpt)."""
+    import orbax.checkpoint as ocp
+
+    from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
+
+    tree = {"params": {"quantize": {"embedding":
+                                    jnp.arange(12, dtype=jnp.float32)
+                                    .reshape(4, 3)}}}
+    path = tmp_path / "vq_ckpt"
+    ocp.PyTreeCheckpointer().save(str(path), tree)
+
+    out = C.load_vqvae_params(str(path), VQVAEConfig())
+    emb = out["quantize"]["embedding"]
+    assert isinstance(emb, np.ndarray)
+    np.testing.assert_array_equal(
+        emb, np.arange(12, dtype=np.float32).reshape(4, 3))
