@@ -461,17 +461,26 @@ def active_units_from_means(means: jnp.ndarray,
 
 
 def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
-                     batches, delta: float = 0.01, gather_fn=None):
+                     batches, delta: float = 0.01):
     """Stream posterior params over eval batches, then compute MI + AU.
 
     ``batches`` yields (B, T) token arrays (host loop; each encoder forward
-    is jitted).  ``gather_fn`` (optional, ``(N_local, D) -> (N_global, D)``
-    host arrays) pools the posteriors across processes first, so the
-    statistics cover the FULL corpus under multi-process eval — matching
-    the reference, which computes MI/AU over the whole val set on every
-    rank (callbacks/GPT_VAE_callbacks.py:429-436).
+    is jitted).  COLLECTIVE under multi-process execution: the posteriors
+    are pooled across processes (``parallel.reduce.pool_posteriors``) so
+    the statistics cover the FULL corpus — matching the reference, which
+    computes MI/AU over the whole val set on every rank
+    (callbacks/GPT_VAE_callbacks.py:429-436).  Returns ``(nan, 0, zeros)``
+    when the global corpus has fewer than 2 rows.
     """
-    import numpy as np
+    from ..parallel.reduce import (concat_gather_fn, cross_process_sharded,
+                                   pool_posteriors)
+    if concat_gather_fn() is not None and cross_process_sharded(params):
+        # raised by EVERY rank (the sharding of the global param arrays is
+        # identical everywhere), never by a subset mid-collective
+        raise NotImplementedError(
+            "corpus MI/AU under multi-process eval needs host-fetchable "
+            "posteriors; run eval with replicated (data-parallel) params, "
+            "not cross-process model/pipe sharding")
     mus, logvars = [], []
     # params passed as a traced arg (closing over them would bake 24L of
     # weights into the jaxpr as constants)
@@ -480,11 +489,10 @@ def corpus_mi_and_au(params: Params, cfgs: VAEConfigs, key: jax.Array,
         mu, logvar = enc(params, jnp.asarray(x))
         mus.append(mu)
         logvars.append(logvar)
-    mu = jnp.concatenate(mus, axis=0)
-    logvar = jnp.concatenate(logvars, axis=0)
-    if gather_fn is not None:
-        mu = jnp.asarray(gather_fn(np.asarray(mu)))
-        logvar = jnp.asarray(gather_fn(np.asarray(logvar)))
+    pooled = pool_posteriors(mus, logvars, cfgs.nz)
+    if pooled is None:
+        return float("nan"), 0, jnp.zeros((cfgs.nz,), jnp.float32)
+    mu, logvar = pooled
     mi = mi_from_posteriors(key, mu, logvar)
     au, au_var = active_units_from_means(mu, delta)
     return float(mi), int(au), au_var

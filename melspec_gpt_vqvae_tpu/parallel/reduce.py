@@ -50,18 +50,31 @@ def cross_process_concat(arr: np.ndarray) -> np.ndarray:
     counts, locals are zero-padded to the max, and padding is sliced away
     after the main gather.  Only the (K,) -> (P, K) transport contract is
     used, so the test seam and ``process_allgather`` both work.
+
+    Values travel as float32 (on BOTH the single- and multi-process path,
+    so statistics cannot flip with process count), which bounds the exact
+    row count at 2**24 — far above any real posterior corpus, and asserted
+    rather than silently truncated.
     """
     transport = _transport
     if transport is None:
         if jax.process_count() == 1:
-            return np.asarray(arr)
+            return np.asarray(arr, np.float32)
         transport = _default_transport
     arr = np.asarray(arr, np.float32)
     n, d = arr.shape
     counts = np.asarray(
         transport(np.asarray([float(n)], np.float64))).reshape(-1)
-    counts = counts.astype(np.int64)
+    counts = np.rint(counts).astype(np.int64)
+    if counts.max() >= 2 ** 24:
+        # checked AFTER the counts collective (every rank reaches it and
+        # raises together): a pre-collective raise on one oversized rank
+        # would leave the others hanging in the allgather
+        raise ValueError(f"a shard of {int(counts.max())} rows exceeds the "
+                         "exact-f32 count range of the gather transport")
     max_n = int(counts.max())
+    if max_n == 0:          # every process is empty this round
+        return arr
     if max_n != n:
         arr = np.pad(arr, ((0, max_n - n), (0, 0)))
     gathered = np.asarray(transport(arr.reshape(-1)))
@@ -76,6 +89,47 @@ def concat_gather_fn() -> Optional[Callable[[np.ndarray], np.ndarray]]:
     if _transport is not None or jax.process_count() > 1:
         return cross_process_concat
     return None
+
+
+def cross_process_sharded(tree) -> bool:
+    """True when any leaf is partitioned (not merely replicated) across
+    processes.  Deterministic across ranks — every rank sees the same
+    global arrays — so callers can raise on it BEFORE entering a
+    collective without stranding other ranks inside it."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            spec = getattr(leaf.sharding, "spec", None)
+            if spec is not None and any(p is not None for p in spec):
+                return True
+    return False
+
+
+def pool_posteriors(mus, logvars, nz: int):
+    """Pool per-batch posterior-param lists into full-corpus (mu, logvar).
+
+    Shared by the GPT-VAE and LSTM-VAE MI/AU paths so the collective-
+    participation contract lives in ONE place: an empty local shard still
+    contributes a (0, nz) array to the cross-process gather (a skipping
+    rank would deadlock the others), and single-process pooling stays on
+    device (no host round-trip through the slow tunnel).
+
+    Returns ``(mu, logvar)`` over the global corpus, or ``None`` when it
+    holds fewer than 2 rows (MI is meaningless and the AU variance
+    denominator ``N - 1`` vanishes).
+    """
+    import jax.numpy as jnp
+    if mus:
+        mu = jnp.concatenate([jnp.asarray(m) for m in mus], axis=0)
+        logvar = jnp.concatenate([jnp.asarray(v) for v in logvars], axis=0)
+    else:
+        mu = logvar = jnp.zeros((0, int(nz)), jnp.float32)
+    gather = concat_gather_fn()
+    if gather is not None:
+        mu = jnp.asarray(gather(np.asarray(mu)))
+        logvar = jnp.asarray(gather(np.asarray(logvar)))
+    if mu.shape[0] < 2:
+        return None
+    return mu, logvar
 
 
 def cross_process_sum(metrics: Dict[str, float]) -> Dict[str, float]:

@@ -257,13 +257,16 @@ def metrics_epoch_end(task, dm, log: TBLogger,
                 if limit_batches and i >= limit_batches:
                     break
                 tokens.append(np.asarray(task.batch_tokens(b)))
-        if not tokens:
-            return
         # calc_mi_au is COLLECTIVE (cross-process posterior gather) and so
         # runs on every process — matching the reference, where each rank
         # computes full-corpus MI/AU (GPT_VAE_callbacks.py:429-436); only
-        # the logging below is primary-gated
+        # the logging below is primary-gated.  It runs even with an EMPTY
+        # local token list (the tasks gather a (0, nz) shard) — a skipping
+        # rank would deadlock the ranks that do hold data.
         mi, au, _ = task.calc_mi_au(state, tokens)
+        if not tokens and not np.isfinite(mi):
+            return   # (near-)empty corpus, nothing to report — but a
+            # non-finite MI over REAL data is divergence and is logged
         extras["pre_mi"] = mi
         if not is_primary():
             return

@@ -183,14 +183,11 @@ class LSTMVAETask:
             mu, lv = fwd(state["params"]["encoder"], x)
             mus.append(np.asarray(mu))
             logvars.append(np.asarray(lv))
-        from ..parallel.reduce import concat_gather_fn
-        gather = concat_gather_fn()
-        mu_np = np.concatenate(mus, axis=0)
-        lv_np = np.concatenate(logvars, axis=0)
-        if gather is not None:
-            mu_np, lv_np = gather(mu_np), gather(lv_np)
-        mu = jnp.asarray(mu_np)
-        lv = jnp.asarray(lv_np)
+        from ..parallel.reduce import pool_posteriors
+        pooled = pool_posteriors(mus, logvars, self.cfg.nz)
+        if pooled is None:   # global corpus < 2 rows
+            return float("nan"), 0, jnp.zeros((self.cfg.nz,), jnp.float32)
+        mu, lv = pooled
         mi = float(G.mi_from_posteriors(key, mu, lv))
         au, au_var = G.active_units_from_means(mu)
         return mi, int(au), au_var

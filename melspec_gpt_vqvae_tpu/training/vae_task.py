@@ -227,10 +227,8 @@ class VAETask:
         gathered across processes (reduce.cross_process_concat) so MI/AU
         cover the full corpus — every process must call this."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        from ..parallel.reduce import concat_gather_fn
         return V.corpus_mi_and_au(state["params"], self.cfgs, key,
-                                  self._tokens_iter(batches),
-                                  gather_fn=concat_gather_fn())
+                                  self._tokens_iter(batches))
 
     def calc_iwnll(self, state, batches, nsamples: int = 500, ns: int = 10,
                    key=None):

@@ -87,10 +87,8 @@ def make_tree(root: str):
 
 def _setup_run(tree: str, batch_size: int):
     """Shared child/single fit harness (imports jax AFTER env/dist init)."""
-    import jax
     from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
                                                GPTConfig, TrainConfig)
-    from melspec_gpt_vqvae_tpu.data.loader import DataModule
     from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh
     from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
 
@@ -104,26 +102,32 @@ def _setup_run(tree: str, batch_size: int):
         train=TrainConfig(learning_rate=1e-3, epochs=EPOCHS,
                           batch_size=batch_size),
         data=DataConfig(batch_size=batch_size))
+    return GPTTask(exp, make_mesh()), _make_dm(tree, batch_size)
+
+
+def _make_dm(tree: str, batch_size: int, pidx=None, pcount=None):
+    """Synthetic-tree DataModule; pidx/pcount override the jax process
+    identity so one process can emulate any shard view."""
+    import jax
+    from melspec_gpt_vqvae_tpu.data.loader import DataModule
+
     dm = DataModule(batch_size=batch_size,
                     spec_dir_path=os.path.join(
                         tree, "features", "*", "melspec_10s_22050hz"),
                     data_root=os.path.join(tree, "data"), seed=SEED,
-                    process_index=jax.process_index(),
-                    process_count=jax.process_count())
+                    process_index=jax.process_index() if pidx is None
+                    else pidx,
+                    process_count=jax.process_count() if pcount is None
+                    else pcount)
     dm.setup()
-    task = GPTTask(exp, make_mesh())
-    return task, dm
+    return dm
 
 
-def _setup_vae_run(tree: str, batch_size: int, pidx=None, pcount=None):
-    """Tiny VAE task + loader over the same synthetic tree (for the
-    corpus-MI/AU collective check).  pidx/pcount override the jax
-    process identity so a single process can emulate a shard view."""
-    import jax
+def _make_vae_task(batch_size: int):
+    """Tiny VAE task (for the corpus-MI/AU collective check)."""
     from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
                                                GPTConfig, TrainConfig,
                                                VAEConfig)
-    from melspec_gpt_vqvae_tpu.data.loader import DataModule
     from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh
     from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 
@@ -134,16 +138,7 @@ def _setup_vae_run(tree: str, batch_size: int, pidx=None, pcount=None):
         train=TrainConfig(learning_rate=1e-3, epochs=1,
                           batch_size=batch_size),
         data=DataConfig(batch_size=batch_size))
-    dm = DataModule(batch_size=batch_size,
-                    spec_dir_path=os.path.join(
-                        tree, "features", "*", "melspec_10s_22050hz"),
-                    data_root=os.path.join(tree, "data"), seed=SEED,
-                    process_index=jax.process_index() if pidx is None
-                    else pidx,
-                    process_count=jax.process_count() if pcount is None
-                    else pcount)
-    dm.setup()
-    return VAETask(exp, steps_per_epoch=2, mesh=make_mesh()), dm
+    return VAETask(exp, steps_per_epoch=2, mesh=make_mesh())
 
 
 def run_mi(args):
@@ -161,20 +156,20 @@ def run_mi(args):
         assert jax.process_count() == 2
     import numpy as np
 
+    task = _make_vae_task(BATCH_PER_HOST)
     if args.role == "mi_child":
-        task, dm = _setup_vae_run(args.tree, BATCH_PER_HOST)
+        dm = _make_dm(args.tree, BATCH_PER_HOST)
         toks = [np.asarray(task.batch_tokens(b))
                 for b in dm.val_dataloader()]
     else:
         # single-process reference over the SAME corpus in gathered order
         # (rank-0 shard rows then rank-1 rows): the MI estimator draws one
         # z per posterior row, so row order must match for exact equality
-        task, dm0 = _setup_vae_run(args.tree, BATCH_PER_HOST, 0, 2)
-        _, dm1 = _setup_vae_run(args.tree, BATCH_PER_HOST, 1, 2)
-        toks = [np.asarray(task.batch_tokens(b))
-                for b in dm0.val_dataloader()]
-        toks += [np.asarray(task.batch_tokens(b))
-                 for b in dm1.val_dataloader()]
+        toks = []
+        for pidx in (0, 1):
+            dm = _make_dm(args.tree, BATCH_PER_HOST, pidx, 2)
+            toks += [np.asarray(task.batch_tokens(b))
+                     for b in dm.val_dataloader()]
     state = task.init_state(SEED)
     mi, au, _ = task.calc_mi_au(state, toks)
     print(json.dumps({"role": args.role, "pid": args.pid,

@@ -153,3 +153,70 @@ def test_multihost_mi_au_covers_full_corpus():
     mi_a, au_a, _ = task.calc_mi_au(state, toks[:2])
     assert mi_a == pytest.approx(mi_full, abs=1e-5)
     assert au_a == au_full
+
+
+def test_cross_process_concat_empty_local_shard():
+    """A rank with ZERO local rows still participates in the collective
+    (skipping it would deadlock the other ranks' allgather) and receives
+    the full corpus."""
+    b = (100.0 + np.arange(8, dtype=np.float32)).reshape(2, 4)
+    R.set_transport(_fake_concat_transport([b]))
+    out = R.cross_process_concat(np.zeros((0, 4), np.float32))
+    np.testing.assert_array_equal(out, b)
+
+
+def test_cross_process_concat_all_empty():
+    R.set_transport(_fake_concat_transport([np.zeros((0, 4), np.float32)]))
+    out = R.cross_process_concat(np.zeros((0, 4), np.float32))
+    assert out.shape == (0, 4)
+
+
+def test_cross_process_concat_dtype_stable_across_process_count():
+    """float64 input comes back float32 on BOTH the single-process and
+    multi-process path — AU threshold comparisons must not flip with
+    process count."""
+    a = np.arange(6, dtype=np.float64).reshape(2, 3)
+    assert R.cross_process_concat(a).dtype == np.float32  # 1-process
+    R.set_transport(_fake_concat_transport([a.astype(np.float32)]))
+    assert R.cross_process_concat(a).dtype == np.float32  # N-process
+
+
+def test_calc_mi_au_empty_rank_joins_collective():
+    """VAETask.calc_mi_au with an empty local token list still enters the
+    gather and returns the OTHER rank's full-corpus statistics (the
+    metrics_epoch_end callback relies on this to avoid a cross-process
+    deadlock when shards are uneven)."""
+    import jax.numpy as jnp
+
+    from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
+                                               GPTConfig, TrainConfig,
+                                               VAEConfig)
+    from melspec_gpt_vqvae_tpu.models import gpt_vae as V
+    from melspec_gpt_vqvae_tpu.parallel import make_mesh
+
+    model = GPTConfig(vocab_size=16, block_size=20, n_layer=1, n_head=2,
+                      n_embd=16, class_size=None)
+    exp = ExperimentConfig(
+        model=model, vae=VAEConfig(nz=8),
+        train=TrainConfig(learning_rate=1e-3, epochs=1, batch_size=4),
+        data=DataConfig(batch_size=4))
+    task = VAETask(exp, steps_per_epoch=2, mesh=make_mesh())
+    state = task.init_state(0)
+    rng = np.random.default_rng(7)
+    toks = [rng.integers(0, 16, (4, 20)).astype(np.int32)]
+
+    mi_full, au_full, _ = task.calc_mi_au(state, toks)  # 1-process ref
+
+    mu_b, lv_b = V.encoder_forward(state["params"], task.cfgs,
+                                   jnp.asarray(toks[0]))
+    R.set_transport(_fake_concat_transport([np.asarray(mu_b),
+                                            np.asarray(lv_b)]))
+    mi, au, _ = task.calc_mi_au(state, [])   # empty rank
+    assert mi == pytest.approx(mi_full, abs=1e-5)
+    assert au == au_full
+
+    # all ranks empty: finite-corpus guard returns nan/0 instead of raising
+    R.set_transport(_fake_concat_transport(
+        [np.zeros((0, 8), np.float32), np.zeros((0, 8), np.float32)]))
+    mi, au, _ = task.calc_mi_au(state, [])
+    assert np.isnan(mi) and au == 0
