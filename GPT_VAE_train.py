@@ -103,6 +103,14 @@ def init_config():
                              "steps (threefry dropout masks dominated)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--override", type=str, default="",
+                        help="comma k=v preset overrides (the reference's "
+                             "editable config/*.py equivalent), e.g. "
+                             "'n_layer=2,n_embd=32,batch_size=4'")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a jax platform (e.g. 'cpu'); the "
+                             "remote TPU registers at interpreter start, "
+                             "so an env var is too late to opt out")
     return parser.parse_args()
 
 
@@ -117,6 +125,8 @@ def main(args):
     import jax
     import numpy as np
 
+    if getattr(args, "platform", ""):
+        jax.config.update("jax_platforms", args.platform)
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     if args.prng == "rbg":
@@ -138,7 +148,9 @@ def main(args):
     np.random.seed(args.seed)
     if args.model == "lstm":
         return run_lstm(args)
-    exp = load_preset("GPT_VAE", args.dataset)
+    from melspec_gpt_vqvae_tpu.configs import parse_overrides
+    exp = load_preset("GPT_VAE", args.dataset,
+                      **parse_overrides(getattr(args, "override", "")))
     exp.vae = VAEConfig(
         nz=exp.model.n_embd, nsamples=args.nsamples,
         iw_train_nsamples=args.iw_train_nsamples,
@@ -296,7 +308,10 @@ def run_lstm(args):
     from melspec_gpt_vqvae_tpu.training.lstm_task import LSTMVAETask
     from melspec_gpt_vqvae_tpu.training.logging import TBLogger
 
-    exp, cfg = load_lstm_preset(args.dataset)
+    from melspec_gpt_vqvae_tpu.configs import parse_overrides
+    exp, cfg = load_lstm_preset(args.dataset,
+                                **parse_overrides(getattr(args, "override",
+                                                          "")))
     exp.vae = VAEConfig(
         nz=cfg.nz, nsamples=args.nsamples,
         iw_train_nsamples=args.iw_train_nsamples,

@@ -51,6 +51,14 @@ def init_config():
                              "steps (threefry dropout masks dominated)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--override", type=str, default="",
+                        help="comma k=v preset overrides (the reference's "
+                             "editable config/*.py equivalent), e.g. "
+                             "'n_layer=2,n_embd=32,batch_size=4'")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a jax platform (e.g. 'cpu'); the "
+                             "remote TPU registers at interpreter start, "
+                             "so an env var is too late to opt out")
     args = parser.parse_args()
     args.seed = 783435
     return args
@@ -65,6 +73,8 @@ def main(args):
     import jax
     import numpy as np
 
+    if getattr(args, "platform", ""):
+        jax.config.update("jax_platforms", args.platform)
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     if args.prng == "rbg":
@@ -83,7 +93,9 @@ def main(args):
     from melspec_gpt_vqvae_tpu.training import runner
 
     np.random.seed(args.seed)
-    exp = load_preset("GPT", args.dataset)
+    from melspec_gpt_vqvae_tpu.configs import parse_overrides
+    exp = load_preset("GPT", args.dataset,
+                      **parse_overrides(getattr(args, "override", "")))
     if args.epochs_override:
         exp.train = exp.train.__class__(
             learning_rate=exp.train.learning_rate,

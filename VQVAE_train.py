@@ -31,6 +31,11 @@ def init_config():
     parser.add_argument("--limit_train_batches", type=int, default=0)
     parser.add_argument("--limit_val_batches", type=int, default=0)
     parser.add_argument("--seed", type=int, default=783435)
+    parser.add_argument("--override", type=str, default="",
+                        help="comma k=v VQVAEConfig overrides, e.g. "
+                             "'ch=16,num_res_blocks=1,resolution=64'")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a jax platform (e.g. 'cpu')")
     return parser.parse_args()
 
 
@@ -42,10 +47,13 @@ def main(args):
     import jax.numpy as jnp
     import numpy as np
 
+    if getattr(args, "platform", ""):
+        jax.config.update("jax_platforms", args.platform)
     from melspec_gpt_vqvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    from melspec_gpt_vqvae_tpu.configs import VQVAEConfig, preset_params
+    from melspec_gpt_vqvae_tpu.configs import (VQVAEConfig, parse_overrides,
+                                               preset_params)
     from melspec_gpt_vqvae_tpu.data import DataModule
     from melspec_gpt_vqvae_tpu.models.vqvae import codebook_usage_counts
     from melspec_gpt_vqvae_tpu.parallel.mesh import is_primary
@@ -56,6 +64,9 @@ def main(args):
     n_e = args.num_embeddings or (1024 if args.dataset == "vggsound" else 128)
     cfg = VQVAEConfig(num_embeddings=n_e, disc_start=args.disc_start,
                       learning_rate=args.learning_rate)
+    ov = parse_overrides(getattr(args, "override", ""))
+    if ov:
+        cfg = dataclasses.replace(cfg, **ov)
     spec_dir = preset_params("GPT_VAE", args.dataset)["spec_dir_path"]
 
     dm = DataModule(batch_size=args.batch_size, spec_dir_path=spec_dir,

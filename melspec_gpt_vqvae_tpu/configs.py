@@ -315,6 +315,31 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
 }
 
 
+def parse_overrides(spec: str) -> Dict[str, Any]:
+    """Parse a ``k=v,k2=v2`` CLI string into a preset-override dict.
+
+    The reference's config system lets users edit ``config/*.py`` params
+    freely (GPT_train.py:63-66 merges the module dict into argparse); the
+    typed presets here are code, so ``--override`` is the equivalent
+    escape hatch.  Values are coerced like Python literals (``2`` -> int,
+    ``0.5`` -> float, ``True``/``None`` literal), anything else stays a
+    string.
+    """
+    import ast
+    out: Dict[str, Any] = {}
+    if not spec:
+        return out
+    for item in spec.split(","):
+        k, eq, v = item.partition("=")
+        if not eq:
+            raise ValueError(f"--override entry {item!r} is not key=value")
+        try:
+            out[k.strip()] = ast.literal_eval(v.strip())
+        except (ValueError, SyntaxError):
+            out[k.strip()] = v.strip()
+    return out
+
+
 def preset_params(model: str, dataset: str) -> Dict[str, Any]:
     """Raw params dict, equivalent to the reference's
     ``config.config_{model}_{dataset}.params`` import."""

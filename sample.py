@@ -69,6 +69,11 @@ def parse_args():
                         "sharded) or 'data=2,model=2' (Megatron-TP GPT "
                         "weights + head-sharded KV cache); default: "
                         "single device")
+    p.add_argument("--override", type=str, default="",
+                   help="comma k=v preset overrides, e.g. "
+                        "'n_layer=2,n_embd=32'")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a jax platform (e.g. 'cpu')")
     return p.parse_args()
 
 
@@ -76,6 +81,8 @@ def main():
     args = parse_args()
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                            os.path.expanduser("~/.cache/jax_comp"))
     os.makedirs(cache, exist_ok=True)
@@ -91,7 +98,9 @@ def main():
     from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline, write_wav
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    exp = load_preset("GPT", args.dataset)
+    from melspec_gpt_vqvae_tpu.configs import parse_overrides
+    exp = load_preset("GPT", args.dataset,
+                      **parse_overrides(args.override))
     kv = args.kv_cache or ("int8" if on_tpu else "auto")
     int8_w = args.int8_weights if args.int8_weights is not None else int(on_tpu)
     exp = dataclasses.replace(exp, model=exp.model.replace(
