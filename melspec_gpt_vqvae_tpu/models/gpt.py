@@ -591,13 +591,14 @@ def _grow_cache(cache: Dict, new_len: int) -> Dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "temperature", "top_k", "sample",
-                     "use_pallas", "segments"))
+    static_argnames=("cfg", "steps", "temperature", "top_k", "top_p",
+                     "sample", "use_pallas", "segments"))
 def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
                  cond_emb: jnp.ndarray,
                  given: Optional[jnp.ndarray] = None, *,
                  steps: int, temperature: float = 1.0,
-                 top_k: Optional[int] = None, sample: bool = True,
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None, sample: bool = True,
                  use_pallas=None, segments: int = 1) -> jnp.ndarray:
     """KV-cached autoregressive generation.
 
@@ -636,7 +637,7 @@ def gpt_generate(params: Params, cfg: GPTConfig, key: jax.Array,
     def step(carry, k):
         logits, cache = carry
         tok = sample_logits(k, logits, temperature=temperature,
-                            top_k=top_k, sample=sample)
+                            top_k=top_k, top_p=top_p, sample=sample)
         logits, cache = gpt_decode_step(params, cfg, cache, tok, wq)
         return (logits, cache), tok
 

@@ -91,11 +91,11 @@ class GenerationPipeline:
         melgan = MelGANGenerator(exp.vocoder)
         steps = self.vcfg.code_h * self.vcfg.code_w
 
-        def _generate(gp, cls, key, temperature, top_k, sample):
+        def _generate(gp, cls, key, temperature, top_k, top_p, sample):
             cond = class_embed(gp, cls)
             return gpt_generate(gp, self.gcfg, key, cond, None,
                                 steps=steps, temperature=temperature,
-                                top_k=top_k, sample=sample,
+                                top_k=top_k, top_p=top_p, sample=sample,
                                 segments=self.segments,
                                 use_pallas=use_pallas)
 
@@ -123,12 +123,14 @@ class GenerationPipeline:
         # temperature/top_k stay traced where possible (gpt_generate takes
         # them static, so changing them recompiles — document, don't hide)
         self._gen = jax.jit(_generate, static_argnames=("temperature",
-                                                        "top_k", "sample"))
+                                                        "top_k", "top_p",
+                                                        "sample"))
         self._dec = jax.jit(_decode_spec)
         self._voc = jax.jit(_vocode)
 
     def generate(self, classes, key, *, temperature: float = 1.0,
                  top_k: Optional[int] = 100,
+                 top_p: Optional[float] = None,
                  sample: bool = True) -> Dict[str, np.ndarray]:
         """classes: (N,) ints -> dict(tokens (N, S), specs (N, H, W),
         wavs (N, samples)) as host numpy arrays."""
@@ -137,7 +139,7 @@ class GenerationPipeline:
             from .parallel.mesh import put_batch
             cls = put_batch(self.mesh, cls)
         toks = self._gen(self.gpt_params, cls, key, temperature, top_k,
-                         sample)
+                         top_p, sample)
         specs = _chunked(functools.partial(self._dec, self.vq_params),
                          toks, self.chunk)
         wavs = _chunked(functools.partial(self._voc, self.voc_params),

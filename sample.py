@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--top_p", type=float, default=0.0,
+                   help="nucleus sampling threshold in (0,1]; 0/1 disable "
+                        "(applies after --top_k; beyond the reference, "
+                        "which only has top-k, minGPT.py:287-291)")
     p.add_argument("--deterministic", action="store_true",
                    help="greedy decode (reference sample(sample=False))")
     p.add_argument("--segments", type=int, default=8)
@@ -193,6 +197,8 @@ def main():
         key, k = jax.random.split(key)
         out = pipe.generate(batch_cls, k, temperature=args.temperature,
                             top_k=args.top_k,
+                            top_p=(args.top_p
+                                   if 0.0 < args.top_p < 1.0 else None),
                             sample=not args.deterministic)
         batch_cls = batch_cls[:n_real]
         for j, c in enumerate(batch_cls):

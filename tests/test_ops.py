@@ -91,3 +91,55 @@ def test_sample_logits_greedy_and_random():
     toks = [int(S.sample_logits(jax.random.PRNGKey(i), logits3, top_k=1,
                                 sample=True)[0]) for i in range(5)]
     assert toks == [1] * 5
+
+
+def test_top_p_logits():
+    # probs ~ softmax([3,2,1,0]) = [.643,.236,.087,.032]; p=.6 keeps only
+    # the top token (cum-before .643 >= .6 for the rest), p=.7 keeps two
+    logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+    out = np.asarray(S.top_p_logits(logits, 0.6))
+    assert out[0, 0] == 3.0 and np.isneginf(out[0, 1:]).all()
+    out = np.asarray(S.top_p_logits(logits, 0.7))
+    assert out[0, 0] == 3.0 and out[0, 1] == 2.0
+    assert np.isneginf(out[0, 2:]).all()
+    # p=1 keeps everything; the top-1 token survives any p
+    out = np.asarray(S.top_p_logits(logits, 1.0))
+    assert np.isfinite(out).all()
+    out = np.asarray(S.top_p_logits(logits, 1e-9))
+    assert out[0, 0] == 3.0 and np.isneginf(out[0, 1:]).all()
+    # batch rows filter independently
+    two = jnp.asarray([[3.0, 2.0, 1.0, 0.0], [0.0, 1.0, 2.0, 3.0]])
+    out = np.asarray(S.top_p_logits(two, 0.6))
+    assert out[0, 0] == 3.0 and out[1, 3] == 3.0
+    assert np.isneginf(out[0, 1:]).all() and np.isneginf(out[1, :3]).all()
+
+
+def test_sample_logits_top_p_composes_with_top_k():
+    # top_p after prior top-k masking: -inf rows must not break the
+    # cumulative-mass computation
+    logits = jnp.asarray([[2.0, 2.1, 1.9, -5.0]])
+    tok = S.sample_logits(jax.random.PRNGKey(0), logits, top_k=3,
+                          top_p=1e-9, sample=True)
+    assert int(tok[0]) == 1  # nucleus of size 1 == argmax
+    # top_p=None / >=1 is a no-op path
+    a = S.sample_logits(jax.random.PRNGKey(3), logits, top_p=None)
+    b = S.sample_logits(jax.random.PRNGKey(3), logits, top_p=1.0)
+    assert int(a[0]) == int(b[0])
+
+
+def test_gpt_generate_top_p_runs_and_masks():
+    from melspec_gpt_vqvae_tpu.configs import GPTConfig
+    from melspec_gpt_vqvae_tpu.models import gpt as G
+    cfg = GPTConfig(vocab_size=16, block_size=12, n_layer=1, n_head=2,
+                    n_embd=16, class_size=2)
+    params = G.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    cond = G.class_embed(params, jnp.zeros((2,), jnp.int32))
+    toks = G.gpt_generate(params, cfg, jax.random.PRNGKey(1), cond,
+                          steps=4, top_p=0.9)
+    assert toks.shape == (2, 4)
+    # top_p tiny == deterministic argmax chain
+    det = G.gpt_generate(params, cfg, jax.random.PRNGKey(2), cond,
+                         steps=4, sample=False)
+    nuc = G.gpt_generate(params, cfg, jax.random.PRNGKey(3), cond,
+                         steps=4, top_p=1e-9)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(nuc))
