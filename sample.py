@@ -18,7 +18,6 @@ Examples:
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -92,78 +91,18 @@ def main():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
 
-    import jax.numpy as jnp
     import numpy as np
 
-    from melspec_gpt_vqvae_tpu.configs import load_preset
-    from melspec_gpt_vqvae_tpu.models.gpt import init_gpt_params
-    from melspec_gpt_vqvae_tpu.models.vocoder import MelGANGenerator
-    from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
-    from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline, write_wav
+    from melspec_gpt_vqvae_tpu.pipeline import write_wav
+    from melspec_gpt_vqvae_tpu.serving import build_pipeline
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    from melspec_gpt_vqvae_tpu.configs import parse_overrides
-    exp = load_preset("GPT", args.dataset,
-                      **parse_overrides(args.override))
-    kv = args.kv_cache or ("int8" if on_tpu else "auto")
-    int8_w = args.int8_weights if args.int8_weights is not None else int(on_tpu)
-    exp = dataclasses.replace(exp, model=exp.model.replace(
-        dtype="bfloat16" if on_tpu else "float32",
-        cache_dtype=kv,
-        decode_weight_dtype="int8" if int8_w else "auto"))
-
-    # --- GPT weights -----------------------------------------------------
-    if args.init_random:
-        gpt_params = init_gpt_params(jax.random.PRNGKey(args.seed),
-                                     exp.model)
-        print("GPT: random init (--init_random)")
-    else:
-        if not args.experiment:
-            raise SystemExit("--experiment (or --init_random) is required")
-        from melspec_gpt_vqvae_tpu.training.checkpoint import \
-            CheckpointManager
-        from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
-        run_dir = os.path.join("lightning_logs",
-                               f"{args.experiment}-{args.dataset}")
-        ckpt_root = os.path.join(run_dir, "checkpoints")
-        if not os.path.isdir(ckpt_root):
-            raise SystemExit(
-                f"no checkpoints dir at {ckpt_root} (wrong --experiment, "
-                f"or the run never saved, e.g. --ckpt_every -1)")
-        versions = sorted((d for d in os.listdir(ckpt_root)
-                           if d.startswith("version_")),
-                          key=lambda d: int(d.split("_")[-1]))
-        if not versions:
-            raise SystemExit(f"no checkpoints under {ckpt_root}")
-        ckpt = CheckpointManager(os.path.join(ckpt_root, versions[-1]))
-        task = GPTTask(exp)
-        from melspec_gpt_vqvae_tpu.training.checkpoint import \
-            shape_template
-        template = {"state": shape_template(task.init_state(args.seed)),
-                    "epoch": 0}
-        restored = ckpt.restore(args.resume, template=template)
-        gpt_params = restored["state"]["params"]
-        print(f"GPT: restored {args.resume} "
-              f"(epoch {int(restored['epoch'])})")
-
-    # --- frozen decoders -------------------------------------------------
-    if args.vqvae_ckpt:
-        from melspec_gpt_vqvae_tpu.utils.convert import load_vqvae_params
-        vq_params = load_vqvae_params(args.vqvae_ckpt, exp.vqvae)
-        print(f"VQ-VAE: {args.vqvae_ckpt}")
-    else:
-        vq_params = VQModel(exp.vqvae).init(
-            jax.random.PRNGKey(1), jnp.zeros((1, 80, 848, 1)))["params"]
-        print("VQ-VAE: random init (pass --vqvae_ckpt for real audio)")
-    if args.vocoder_ckpt:
-        from melspec_gpt_vqvae_tpu.utils.convert import load_vocoder_params
-        voc_params, voc_cfg = load_vocoder_params(args.vocoder_ckpt)
-        exp = dataclasses.replace(exp, vocoder=voc_cfg)
-        print(f"vocoder: {args.vocoder_ckpt}")
-    else:
-        voc_params = MelGANGenerator(exp.vocoder).init(
-            jax.random.PRNGKey(2), jnp.zeros((1, 848, 80)))["params"]
-        print("vocoder: random init (pass --vocoder_ckpt for real audio)")
+    exp, pipe, mesh = build_pipeline(
+        args.dataset, experiment=args.experiment, resume=args.resume,
+        init_random=args.init_random, vqvae_ckpt=args.vqvae_ckpt,
+        vocoder_ckpt=args.vocoder_ckpt, override=args.override,
+        seed=args.seed, segments=args.segments, chunk=args.chunk,
+        kv_cache=args.kv_cache, int8_weights=args.int8_weights,
+        mesh_spec=args.mesh)
 
     # --- sampling --------------------------------------------------------
     if args.classes == "all":
@@ -171,15 +110,6 @@ def main():
     else:
         classes = [int(c) for c in args.classes.split(",")]
     requests = np.repeat(np.asarray(classes, np.int32), args.num)
-
-    mesh = None
-    if args.mesh:
-        from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh, parse_mesh
-        mesh = make_mesh(parse_mesh(args.mesh))
-        print(f"mesh: {dict(mesh.shape)}")
-    pipe = GenerationPipeline(exp, gpt_params, vq_params, voc_params,
-                              segments=args.segments, chunk=args.chunk,
-                              mesh=mesh)
     # a data-sharded batch must divide the data axis; pad the tail batch
     # (extra clips are generated but not written)
     dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1

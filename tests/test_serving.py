@@ -1,0 +1,144 @@
+"""HTTP serving layer: GenerationService batching/padding semantics and
+the http.server endpoint end-to-end on a tiny random-init pipeline.
+
+Beyond the reference (no serving exists there; generation lives inside
+training callbacks, /root/reference/transformer/minGPT.py:530-612).
+"""
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from melspec_gpt_vqvae_tpu.configs import (ExperimentConfig, GPTConfig,
+                                           VocoderConfig, VQVAEConfig)
+from melspec_gpt_vqvae_tpu.models.gpt import init_gpt_params
+from melspec_gpt_vqvae_tpu.models.vocoder import MelGANGenerator
+from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
+from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline
+from melspec_gpt_vqvae_tpu.serving import (GenerationService, serve,
+                                           wav_bytes)
+
+
+def _tiny_service(batch=4):
+    import jax.numpy as jnp
+    vq = VQVAEConfig(num_embeddings=16, embedding_dim=8, ch=8,
+                     ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(), z_channels=8, resolution=8,
+                     code_h=2, code_w=4)
+    gpt = GPTConfig(vocab_size=16, block_size=9, n_layer=2, n_head=2,
+                    n_embd=16, class_size=4)
+    voc = VocoderConfig(n_mel_channels=4, ngf=4, n_residual_layers=1,
+                        ratios=(2, 2))
+    exp = dataclasses.replace(ExperimentConfig(model=gpt), vqvae=vq,
+                              vocoder=voc)
+    gpt_params = init_gpt_params(jax.random.PRNGKey(0), exp.model)
+    vq_params = VQModel(exp.vqvae).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 4, 8, 1)))["params"]
+    voc_params = MelGANGenerator(exp.vocoder).init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 8, 4)))["params"]
+    pipe = GenerationPipeline(exp, gpt_params, vq_params, voc_params,
+                              segments=2, chunk=0, bf16=False)
+    return GenerationService(exp, pipe, batch=batch, seed=7)
+
+
+def test_service_pads_and_chunks_to_fixed_batch():
+    svc = _tiny_service(batch=4)
+    # shorter, equal, and longer than the serving batch all work
+    for n in (1, 4, 6):
+        out = svc.generate(list(np.arange(n) % 4), seed=3)
+        assert out["wavs"].shape == (n, 32)
+        assert out["tokens"].shape == (n, 8)
+    # explicit seed makes results reproducible across calls
+    a = svc.generate([1, 2], seed=11)
+    b = svc.generate([1, 2], seed=11)
+    np.testing.assert_array_equal(a["tokens"], b["tokens"])
+    # no seed: server key advances -> typically different draws
+    c = svc.generate([1, 2])
+    d = svc.generate([1, 2])
+    assert (c["tokens"] != d["tokens"]).any()
+
+
+def test_service_validates_classes():
+    svc = _tiny_service(batch=2)
+    with pytest.raises(ValueError):
+        svc.generate([])
+    with pytest.raises(ValueError):
+        svc.generate([99])
+    with pytest.raises(ValueError):
+        svc.generate([-1])
+
+
+def test_wav_bytes_parses():
+    wav = np.sin(np.linspace(0, 20 * np.pi, 441)).astype(np.float32)
+    blob = wav_bytes(wav, 22050)
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert w.getframerate() == 22050 and w.getnframes() == 441
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    svc = _tiny_service(batch=2)
+    httpd = serve(svc, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_http_healthz(http_server):
+    with urllib.request.urlopen(http_server + "/healthz") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["model"]["class_size"] == 4
+    assert body["batch"] == 2
+
+
+def test_http_get_generate_wav(http_server):
+    url = http_server + "/generate?class=3&seed=5&top_p=0.9"
+    with urllib.request.urlopen(url) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        blob = r.read()
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert w.getnframes() == 32  # tiny vocoder: 8 frames x4 upsample
+    # same seed -> byte-identical clip
+    with urllib.request.urlopen(url) as r:
+        assert r.read() == blob
+
+
+def test_http_post_generate_json(http_server):
+    req = urllib.request.Request(
+        http_server + "/generate",
+        data=json.dumps({"classes": [0, 1], "num": 2, "seed": 9,
+                         "top_k": 5, "format": "json"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    assert [c["class"] for c in body["clips"]] == [0, 0, 1, 1]
+    blob = base64.b64decode(body["clips"][0]["wav_base64"])
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert w.getnframes() == 32
+
+
+def test_http_errors(http_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/generate?class=99")
+    assert e.value.code == 400
+    # format=wav with >1 clip is a client error
+    req = urllib.request.Request(
+        http_server + "/generate",
+        data=json.dumps({"classes": [0, 1], "format": "wav"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
