@@ -322,14 +322,25 @@ def parse_overrides(spec: str) -> Dict[str, Any]:
     freely (GPT_train.py:63-66 merges the module dict into argparse); the
     typed presets here are code, so ``--override`` is the equivalent
     escape hatch.  Values are coerced like Python literals (``2`` -> int,
-    ``0.5`` -> float, ``True``/``None`` literal), anything else stays a
-    string.
+    ``0.5`` -> float, ``True``/``None`` literal, ``(1,2)`` -> tuple),
+    anything else stays a string.  Commas inside brackets/parens do not
+    split entries, so tuple fields like ``ch_mult=(1,2,4)`` work.
     """
     import ast
     out: Dict[str, Any] = {}
     if not spec:
         return out
-    for item in spec.split(","):
+    items, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        depth += ch in "([{"
+        depth -= ch in ")]}"
+        cur.append(ch)
+    items.append("".join(cur))
+    for item in items:
         k, eq, v = item.partition("=")
         if not eq:
             raise ValueError(f"--override entry {item!r} is not key=value")
@@ -338,6 +349,16 @@ def parse_overrides(spec: str) -> Dict[str, Any]:
         except (ValueError, SyntaxError):
             out[k.strip()] = v.strip()
     return out
+
+
+def _check_override_keys(overrides: Dict[str, Any], allowed, context: str):
+    """A typo'd --override key must fail loudly, not train the full-size
+    preset silently."""
+    unknown = sorted(set(overrides) - set(allowed))
+    if unknown:
+        raise ValueError(
+            f"unknown override key(s) {unknown} for {context}; known keys: "
+            f"{sorted(allowed)}")
 
 
 def preset_params(model: str, dataset: str) -> Dict[str, Any]:
@@ -372,6 +393,12 @@ def load_lstm_preset(dataset: str = "vas", **overrides):
     Returns (ExperimentConfig, LSTMConfig)."""
     from .models.lstm_vae import LSTMConfig
     p = preset_params("VAE", dataset)
+    _check_override_keys(
+        overrides,
+        set(p) | set(LSTMConfig._fields)  # NamedTuple
+        | {f.name for f in dataclasses.fields(TrainConfig)}
+        | {f.name for f in dataclasses.fields(DataConfig)},
+        f"VAE_{dataset}")
     p.update(overrides)
     cfg = LSTMConfig(
         vocab_size=130,                  # 128 codes + <s> + </s>
@@ -413,6 +440,12 @@ def load_preset(model: str, dataset: str, **overrides) -> ExperimentConfig:
     ``model`` in {"GPT", "GPT_VAE"}, ``dataset`` in {"vas", "vggsound"}.
     """
     p = preset_params(model, dataset)
+    _check_override_keys(
+        overrides,
+        set(p) | {f.name for f in dataclasses.fields(GPTConfig)}
+        | {f.name for f in dataclasses.fields(TrainConfig)}
+        | {f.name for f in dataclasses.fields(DataConfig)},
+        f"{model}_{dataset}")
     p.update(overrides)
 
     gpt_keys = {f.name for f in dataclasses.fields(GPTConfig)}

@@ -149,15 +149,24 @@ class GenerationPipeline:
                 "wavs": np.asarray(wavs, np.float32)}
 
 
-def write_wav(path: str, wav: np.ndarray, sample_rate: int = 22050):
-    """PCM16 WAV via the stdlib (soundfile is absent in this image; same
-    approach as TBLogger.audio)."""
+def wav_bytes(wav: np.ndarray, sample_rate: int = 22050) -> bytes:
+    """PCM16 WAV encoded in memory via the stdlib (soundfile is absent in
+    this image; same approach as TBLogger.audio)."""
+    import io
     import wave
 
     data = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
     pcm = (data * 32767.0).astype("<i2")
-    with wave.open(path, "wb") as w:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int = 22050):
+    """PCM16 WAV file (the buffer form above, on disk)."""
+    with open(path, "wb") as f:
+        f.write(wav_bytes(wav, sample_rate))

@@ -21,30 +21,17 @@ from __future__ import annotations
 
 import base64
 import dataclasses
-import io
 import json
 import os
 import threading
 import time
-import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-
-def wav_bytes(wav: np.ndarray, sample_rate: int = 22050) -> bytes:
-    """PCM16 WAV in memory (write_wav's buffer form)."""
-    data = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
-    pcm = (data * 32767.0).astype("<i2")
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
-    return buf.getvalue()
+from .pipeline import wav_bytes
 
 
 def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
@@ -155,8 +142,10 @@ class GenerationService:
         self.batch = max(1, int(batch))
         dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1
         if self.batch % dp:
-            raise SystemExit(f"--batch {batch} must divide data axis {dp}")
-        self.defaults = {"temperature": temperature, "top_k": top_k,
+            raise SystemExit(f"the mesh data axis ({dp}) must divide "
+                             f"--batch ({batch})")
+        self.defaults = {"temperature": temperature,
+                         "top_k": top_k or None,  # 0 disables, like top_p
                          "top_p": top_p}
         self._jax = jax
         self._lock = threading.Lock()
@@ -177,6 +166,9 @@ class GenerationService:
                 f"class indices must be in [0, {self.exp.model.class_size})")
         t = self.defaults["temperature"] if temperature is None \
             else float(temperature)
+        if not t > 0.0:
+            raise ValueError("temperature must be > 0 (use "
+                             "deterministic=true for greedy decode)")
         k = self.defaults["top_k"] if top_k is None else (int(top_k) or None)
         p = self.defaults["top_p"] if top_p is None else float(top_p)
         p = p if (p and 0.0 < p < 1.0) else None
@@ -275,6 +267,9 @@ class _Handler(BaseHTTPRequestHandler):
             classes = [c for c in classes for _ in range(num)]
             fmt = params.get("format",
                              "wav" if len(classes) == 1 else "json")
+            if fmt == "wav" and len(classes) != 1:
+                # reject before burning a chip decode on the batch
+                raise ValueError("format=wav needs exactly 1 clip")
             det = params.get("deterministic", False)
             if isinstance(det, str):  # GET query form
                 det = det.lower() in ("1", "true", "yes")
@@ -290,9 +285,6 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(400, {"error": str(e)})
         sr = svc.exp.data.sample_rate
         if fmt == "wav":
-            if len(classes) != 1:
-                return self._json(400, {"error":
-                                        "format=wav needs exactly 1 clip"})
             return self._send(200, wav_bytes(out["wavs"][0], sr),
                               "audio/wav")
         clips = [{"class": int(c),

@@ -126,7 +126,7 @@ def main():
                 [batch_cls, np.repeat(batch_cls[-1:], dp - n_real % dp)])
         key, k = jax.random.split(key)
         out = pipe.generate(batch_cls, k, temperature=args.temperature,
-                            top_k=args.top_k,
+                            top_k=args.top_k or None,  # 0 disables
                             top_p=(args.top_p
                                    if 0.0 < args.top_p < 1.0 else None),
                             sample=not args.deterministic)

@@ -32,3 +32,16 @@ def test_overrides_reach_presets():
     assert exp2.train.batch_size == 4
     _, cfg = load_lstm_preset("vas", **parse_overrides("nz=8"))
     assert cfg.nz == 8
+
+
+def test_parse_overrides_tuples_and_nested_commas():
+    ov = parse_overrides("ch_mult=(1,2,4),ch=16,ratios=[8,8]")
+    assert ov == {"ch_mult": (1, 2, 4), "ch": 16, "ratios": [8, 8]}
+
+
+def test_unknown_override_key_fails_loudly():
+    # a typo'd key must not silently train the full-size preset
+    with pytest.raises(ValueError, match="n_layr"):
+        load_preset("GPT", "vas", n_layr=2)
+    with pytest.raises(ValueError, match="unknown override"):
+        load_lstm_preset("vas", nzz=8)

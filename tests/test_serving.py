@@ -142,3 +142,16 @@ def test_http_errors(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_service_top_k_zero_disables_and_temperature_validated():
+    svc = _tiny_service(batch=2)
+    # top_k=0 means "no top-k filter", not a zero-size lax.top_k crash
+    out = svc.generate([1], top_k=0, seed=3)
+    assert out["tokens"].shape == (1, 8)
+    svc0 = GenerationService(svc.exp, svc.pipe, batch=2, top_k=0)
+    assert svc0.defaults["top_k"] is None
+    with pytest.raises(ValueError, match="temperature"):
+        svc.generate([1], temperature=0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        svc.generate([1], temperature=-1)
