@@ -59,3 +59,18 @@ def sample_logits(key: jax.Array, logits: jnp.ndarray, *,
     if sample:
         return jax.random.categorical(key, logits, axis=-1)
     return jnp.argmax(logits, axis=-1)
+
+
+def filtered_log_probs(logits: jnp.ndarray, *, temperature: float = 1.0,
+                       top_k: Optional[int] = None,
+                       top_p: Optional[float] = None) -> jnp.ndarray:
+    """Log-probabilities of the exact distribution ``sample_logits`` draws
+    from (temperature + top-k + top-p filtering, then softmax).  Used by
+    speculative decoding, where the accept/reject ratio must be computed
+    on the same filtered distributions the samplers use."""
+    logits = logits / temperature
+    if top_k is not None:
+        logits = top_k_logits(logits, top_k)
+    if top_p is not None and top_p < 1.0:
+        logits = top_p_logits(logits, top_p)
+    return jax.nn.log_softmax(logits, axis=-1)

@@ -52,11 +52,19 @@ class GenerationPipeline:
 
     def __init__(self, exp: ExperimentConfig, gpt_params, vq_params,
                  voc_params, *, segments: int = 8, chunk: int = 128,
-                 bf16: Optional[bool] = None, use_pallas=None, mesh=None):
+                 bf16: Optional[bool] = None, use_pallas=None, mesh=None,
+                 draft_params=None, draft_cfg=None, gamma: int = 4):
         self.exp = exp
         self.gcfg = exp.model
         self.vcfg = exp.vqvae
         self.mesh = mesh
+        if draft_params is not None and mesh is not None:
+            raise NotImplementedError(
+                "speculative decoding is a single-device latency feature; "
+                "use --mesh OR a draft, not both")
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         if bf16 is None:
             bf16 = on_tpu
@@ -91,13 +99,30 @@ class GenerationPipeline:
         melgan = MelGANGenerator(exp.vocoder)
         steps = self.vcfg.code_h * self.vcfg.code_w
 
-        def _generate(gp, cls, key, temperature, top_k, top_p, sample):
-            cond = class_embed(gp, cls)
-            return gpt_generate(gp, self.gcfg, key, cond, None,
-                                steps=steps, temperature=temperature,
-                                top_k=top_k, top_p=top_p, sample=sample,
-                                segments=self.segments,
-                                use_pallas=use_pallas)
+        if draft_params is not None:
+            # speculative decoding (models/speculative.py): the draft
+            # proposes gamma tokens/round, the target verifies them in one
+            # chunked forward — exact target distribution, fewer serial
+            # target passes in the weight-bound small-batch regime
+            from .models.speculative import gpt_speculative_generate
+
+            def _generate(gp, cls, key, temperature, top_k, top_p, sample):
+                cond = class_embed(gp, cls)
+                d_cond = class_embed(self.draft_params, cls)
+                return gpt_speculative_generate(
+                    gp, self.gcfg, self.draft_params, self.draft_cfg,
+                    key, cond, d_cond, steps=steps,
+                    gamma=self.gamma, temperature=temperature,
+                    top_k=top_k, top_p=top_p, sample=sample)
+        else:
+            def _generate(gp, cls, key, temperature, top_k, top_p, sample):
+                cond = class_embed(gp, cls)
+                toks = gpt_generate(gp, self.gcfg, key, cond, None,
+                                    steps=steps, temperature=temperature,
+                                    top_k=top_k, top_p=top_p, sample=sample,
+                                    segments=self.segments,
+                                    use_pallas=use_pallas)
+                return toks, {}
 
         def _decode_spec(vqp, tokens):
             # GPT order -> (B, code_h, code_w) raster: jnp form of
@@ -138,15 +163,23 @@ class GenerationPipeline:
         if self.mesh is not None:
             from .parallel.mesh import put_batch
             cls = put_batch(self.mesh, cls)
-        toks = self._gen(self.gpt_params, cls, key, temperature, top_k,
-                         top_p, sample)
+        toks, stats = self._gen(self.gpt_params, cls, key, temperature,
+                                top_k, top_p, sample)
         specs = _chunked(functools.partial(self._dec, self.vq_params),
                          toks, self.chunk)
         wavs = _chunked(functools.partial(self._voc, self.voc_params),
                         specs, self.chunk)
-        return {"tokens": np.asarray(toks),
-                "specs": np.asarray(specs, np.float32),
-                "wavs": np.asarray(wavs, np.float32)}
+        out = {"tokens": np.asarray(toks),
+               "specs": np.asarray(specs, np.float32),
+               "wavs": np.asarray(wavs, np.float32)}
+        if stats:  # speculative decode observability
+            drafted = max(1, int(stats["drafted"]))
+            out["spec_stats"] = {"rounds": int(stats["rounds"]),
+                                 "drafted": drafted,
+                                 "accepted": int(stats["accepted"]),
+                                 "accept_rate": round(
+                                     int(stats["accepted"]) / drafted, 4)}
+        return out
 
 
 def wav_bytes(wav: np.ndarray, sample_rate: int = 22050) -> bytes:

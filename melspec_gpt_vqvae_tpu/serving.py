@@ -34,13 +34,40 @@ import numpy as np
 from .pipeline import wav_bytes
 
 
+def _restore_gpt_params(exp, dataset: str, experiment: str, resume: str,
+                        seed: int):
+    """GPT weights from an orbax run checkpoint
+    (lightning_logs/{experiment}-{dataset}/checkpoints/version_*)."""
+    from .training.checkpoint import CheckpointManager, shape_template
+    from .training.gpt_task import GPTTask
+    ckpt_root = os.path.join("lightning_logs", f"{experiment}-{dataset}",
+                             "checkpoints")
+    if not os.path.isdir(ckpt_root):
+        raise SystemExit(
+            f"no checkpoints dir at {ckpt_root} (wrong --experiment, "
+            f"or the run never saved, e.g. --ckpt_every -1)")
+    versions = sorted((d for d in os.listdir(ckpt_root)
+                       if d.startswith("version_")),
+                      key=lambda d: int(d.split("_")[-1]))
+    if not versions:
+        raise SystemExit(f"no checkpoints under {ckpt_root}")
+    ckpt = CheckpointManager(os.path.join(ckpt_root, versions[-1]))
+    template = {"state": shape_template(GPTTask(exp).init_state(seed)),
+                "epoch": 0}
+    restored = ckpt.restore(resume, template=template)
+    return restored["state"]["params"], int(restored["epoch"])
+
+
 def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
                    resume: str = "best", init_random: bool = False,
                    vqvae_ckpt: Optional[str] = None,
                    vocoder_ckpt: Optional[str] = None, override: str = "",
                    seed: int = 783435, segments: int = 8, chunk: int = 128,
                    kv_cache: Optional[str] = None,
-                   int8_weights: Optional[int] = None, mesh_spec: str = ""):
+                   int8_weights: Optional[int] = None, mesh_spec: str = "",
+                   draft_experiment: Optional[str] = None,
+                   draft_resume: str = "best", draft_override: str = "",
+                   draft_random: str = "", gamma: int = 4):
     """Load weights and construct the jit-once GenerationPipeline.
 
     The common loading path of ``sample.py`` and ``serve.py``: GPT weights
@@ -76,26 +103,30 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
     else:
         if not experiment:
             raise SystemExit("--experiment (or --init_random) is required")
-        from .training.checkpoint import CheckpointManager, shape_template
-        from .training.gpt_task import GPTTask
-        run_dir = os.path.join("lightning_logs", f"{experiment}-{dataset}")
-        ckpt_root = os.path.join(run_dir, "checkpoints")
-        if not os.path.isdir(ckpt_root):
-            raise SystemExit(
-                f"no checkpoints dir at {ckpt_root} (wrong --experiment, "
-                f"or the run never saved, e.g. --ckpt_every -1)")
-        versions = sorted((d for d in os.listdir(ckpt_root)
-                           if d.startswith("version_")),
-                          key=lambda d: int(d.split("_")[-1]))
-        if not versions:
-            raise SystemExit(f"no checkpoints under {ckpt_root}")
-        ckpt = CheckpointManager(os.path.join(ckpt_root, versions[-1]))
-        task = GPTTask(exp)
-        template = {"state": shape_template(task.init_state(seed)),
-                    "epoch": 0}
-        restored = ckpt.restore(resume, template=template)
-        gpt_params = restored["state"]["params"]
-        print(f"GPT: restored {resume} (epoch {int(restored['epoch'])})")
+        gpt_params, epoch = _restore_gpt_params(exp, dataset, experiment,
+                                                resume, seed)
+        print(f"GPT: restored {resume} (epoch {epoch})")
+
+    # --- optional speculative draft -----------------------------------------
+    draft_params = draft_cfg = None
+    if draft_experiment or draft_random:
+        d_exp = load_preset("GPT", dataset,
+                            **parse_overrides(draft_override
+                                              or draft_random))
+        d_exp = dataclasses.replace(d_exp, model=d_exp.model.replace(
+            dtype=exp.model.dtype, cache_dtype=exp.model.cache_dtype,
+            decode_weight_dtype=exp.model.decode_weight_dtype))
+        draft_cfg = d_exp.model
+        if draft_experiment:
+            draft_params, d_epoch = _restore_gpt_params(
+                d_exp, dataset, draft_experiment, draft_resume, seed)
+            print(f"draft GPT: restored {draft_experiment} "
+                  f"(epoch {d_epoch}, {draft_cfg.n_layer}L, gamma={gamma})")
+        else:
+            draft_params = init_gpt_params(jax.random.PRNGKey(seed + 1),
+                                           draft_cfg)
+            print(f"draft GPT: random init ({draft_cfg.n_layer}L, "
+                  f"gamma={gamma})")
 
     # --- frozen decoders ----------------------------------------------------
     # mel geometry implied by the code grid (16x downsample: 80 x 848)
@@ -126,7 +157,9 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
         mesh = make_mesh(parse_mesh(mesh_spec))
         print(f"mesh: {dict(mesh.shape)}")
     pipe = GenerationPipeline(exp, gpt_params, vq_params, voc_params,
-                              segments=segments, chunk=chunk, mesh=mesh)
+                              segments=segments, chunk=chunk, mesh=mesh,
+                              draft_params=draft_params,
+                              draft_cfg=draft_cfg, gamma=gamma)
     return exp, pipe, mesh
 
 
@@ -190,9 +223,12 @@ class GenerationService:
                 toks.append(out["tokens"][:n])
                 specs.append(out["specs"][:n])
             self.requests += 1
-        return {"wavs": np.concatenate(wavs),
-                "tokens": np.concatenate(toks),
-                "specs": np.concatenate(specs)}
+        res = {"wavs": np.concatenate(wavs),
+               "tokens": np.concatenate(toks),
+               "specs": np.concatenate(specs)}
+        if out.get("spec_stats"):
+            res["spec_stats"] = out["spec_stats"]
+        return res
 
     def warmup(self):
         """Compile the serving program before accepting traffic."""
@@ -291,8 +327,11 @@ class _Handler(BaseHTTPRequestHandler):
                   "wav_base64": base64.b64encode(
                       wav_bytes(out["wavs"][i], sr)).decode()}
                  for i, c in enumerate(classes)]
-        return self._json(200, {"clips": clips, "sample_rate": sr,
-                                "seconds": round(time.time() - t0, 3)})
+        body = {"clips": clips, "sample_rate": sr,
+                "seconds": round(time.time() - t0, 3)}
+        if out.get("spec_stats"):
+            body["speculative"] = out["spec_stats"]
+        return self._json(200, body)
 
 
 def serve(service: GenerationService, host: str = "127.0.0.1",

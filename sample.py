@@ -77,6 +77,18 @@ def parse_args():
                         "'n_layer=2,n_embd=32'")
     p.add_argument("--platform", type=str, default="",
                    help="force a jax platform (e.g. 'cpu')")
+    p.add_argument("--draft_experiment", type=str, default=None,
+                   help="speculative decoding: run name of a smaller GPT "
+                        "to use as the draft (exact target distribution; "
+                        "fewer serial target passes at small batch)")
+    p.add_argument("--draft_resume", type=str, default="best")
+    p.add_argument("--draft_override", type=str, default="",
+                   help="draft preset overrides, e.g. 'n_layer=4'")
+    p.add_argument("--draft_random", type=str, default="",
+                   help="random-init draft config (mechanics smoke), "
+                        "e.g. 'n_layer=2'")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="draft tokens proposed per speculative round")
     return p.parse_args()
 
 
@@ -102,7 +114,9 @@ def main():
         vocoder_ckpt=args.vocoder_ckpt, override=args.override,
         seed=args.seed, segments=args.segments, chunk=args.chunk,
         kv_cache=args.kv_cache, int8_weights=args.int8_weights,
-        mesh_spec=args.mesh)
+        mesh_spec=args.mesh, draft_experiment=args.draft_experiment,
+        draft_resume=args.draft_resume, draft_override=args.draft_override,
+        draft_random=args.draft_random, gamma=args.gamma)
 
     # --- sampling --------------------------------------------------------
     if args.classes == "all":
@@ -117,6 +131,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     written = 0
+    out = {}
     counters = {}
     for start in range(0, len(requests), args.batch):
         batch_cls = requests[start:start + args.batch]
@@ -143,9 +158,12 @@ def main():
                 np.save(stem + "_mel.npy", out["specs"][j])
             written += 1
     dt = time.time() - t0
-    print(json.dumps({"written": written, "out_dir": args.out_dir,
-                      "seconds": round(dt, 2),
-                      "clips_per_sec": round(written / dt, 2)}))
+    summary = {"written": written, "out_dir": args.out_dir,
+               "seconds": round(dt, 2),
+               "clips_per_sec": round(written / dt, 2)}
+    if out.get("spec_stats"):
+        summary["speculative"] = out["spec_stats"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

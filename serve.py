@@ -54,6 +54,14 @@ def parse_args():
                    help="e.g. 'data=4' or 'data=2,model=2' (multi-chip)")
     p.add_argument("--override", type=str, default="")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--draft_experiment", type=str, default=None,
+                   help="speculative decoding: run name of a smaller GPT "
+                        "draft (exact target distribution, lower latency)")
+    p.add_argument("--draft_resume", type=str, default="best")
+    p.add_argument("--draft_override", type=str, default="")
+    p.add_argument("--draft_random", type=str, default="",
+                   help="random-init draft config (mechanics smoke)")
+    p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no_warmup", action="store_true",
@@ -79,7 +87,9 @@ def main():
         vocoder_ckpt=args.vocoder_ckpt, override=args.override,
         seed=args.seed, segments=args.segments, chunk=args.chunk,
         kv_cache=args.kv_cache, int8_weights=args.int8_weights,
-        mesh_spec=args.mesh)
+        mesh_spec=args.mesh, draft_experiment=args.draft_experiment,
+        draft_resume=args.draft_resume, draft_override=args.draft_override,
+        draft_random=args.draft_random, gamma=args.gamma)
     svc = GenerationService(
         exp, pipe, mesh, batch=args.batch, seed=args.seed,
         temperature=args.temperature, top_k=args.top_k,
