@@ -55,6 +55,14 @@ def gpt_decode_chunk(params: Params, cfg: GPTConfig, cache: Dict,
     len += c).  The chunk generalisation of ``gpt_decode_step`` — one
     weight stream serves c positions; this is what makes speculative
     verification cheaper than c single steps in the weight-bound regime.
+
+    MAINTENANCE: this body deliberately mirrors ``gpt_decode_step``
+    (gpt.py:453-575) with a chunk axis added — the single-step path is
+    the tuned hot loop (60% of its HBM roof) and is NOT refactored into
+    the chunk form to avoid perturbing it.  Any numerics change to one
+    must be mirrored in the other; the pinned equivalence
+    ``tests/test_speculative.py::test_decode_chunk_matches_single_steps``
+    fails on divergence.
     """
     pos = cache["len"]
     b, c = tokens.shape

@@ -106,16 +106,22 @@ class GenerationPipeline:
             # target passes in the weight-bound small-batch regime
             from .models.speculative import gpt_speculative_generate
 
-            def _generate(gp, cls, key, temperature, top_k, top_p, sample):
+            # draft weights are a jit ARGUMENT like gp — closing over
+            # them would bake the draft into every compiled variant as
+            # constants (the class invariant above)
+            def _generate(gp, dp, cls, key, temperature, top_k, top_p,
+                          sample):
                 cond = class_embed(gp, cls)
-                d_cond = class_embed(self.draft_params, cls)
+                d_cond = class_embed(dp, cls)
                 return gpt_speculative_generate(
-                    gp, self.gcfg, self.draft_params, self.draft_cfg,
+                    gp, self.gcfg, dp, self.draft_cfg,
                     key, cond, d_cond, steps=steps,
                     gamma=self.gamma, temperature=temperature,
                     top_k=top_k, top_p=top_p, sample=sample)
         else:
-            def _generate(gp, cls, key, temperature, top_k, top_p, sample):
+            def _generate(gp, dp, cls, key, temperature, top_k, top_p,
+                          sample):
+                del dp  # no draft: empty pytree placeholder
                 cond = class_embed(gp, cls)
                 toks = gpt_generate(gp, self.gcfg, key, cond, None,
                                     steps=steps, temperature=temperature,
@@ -163,8 +169,8 @@ class GenerationPipeline:
         if self.mesh is not None:
             from .parallel.mesh import put_batch
             cls = put_batch(self.mesh, cls)
-        toks, stats = self._gen(self.gpt_params, cls, key, temperature,
-                                top_k, top_p, sample)
+        toks, stats = self._gen(self.gpt_params, self.draft_params, cls,
+                                key, temperature, top_k, top_p, sample)
         specs = _chunked(functools.partial(self._dec, self.vq_params),
                          toks, self.chunk)
         wavs = _chunked(functools.partial(self._voc, self.voc_params),

@@ -109,14 +109,26 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
 
     # --- optional speculative draft -----------------------------------------
     draft_params = draft_cfg = None
+    if draft_override and not (draft_experiment or draft_random):
+        raise SystemExit("--draft_override requires --draft_experiment "
+                         "or --draft_random")
     if draft_experiment or draft_random:
-        d_exp = load_preset("GPT", dataset,
-                            **parse_overrides(draft_override
-                                              or draft_random))
+        # draft config = target overrides (geometry like vocab_size/
+        # block_size must track the target) + draft-specific overrides
+        d_ov = {**parse_overrides(override),
+                **parse_overrides(draft_override),
+                **parse_overrides(draft_random)}
+        d_exp = load_preset("GPT", dataset, **d_ov)
         d_exp = dataclasses.replace(d_exp, model=d_exp.model.replace(
             dtype=exp.model.dtype, cache_dtype=exp.model.cache_dtype,
             decode_weight_dtype=exp.model.decode_weight_dtype))
         draft_cfg = d_exp.model
+        for f in ("vocab_size", "block_size", "class_size"):
+            if getattr(draft_cfg, f) != getattr(exp.model, f):
+                raise SystemExit(
+                    f"draft {f}={getattr(draft_cfg, f)} must equal the "
+                    f"target's {getattr(exp.model, f)} (the speculative "
+                    f"accept/reject compares the two distributions)")
         if draft_experiment:
             draft_params, d_epoch = _restore_gpt_params(
                 d_exp, dataset, draft_experiment, draft_resume, seed)
@@ -206,6 +218,7 @@ class GenerationService:
         p = self.defaults["top_p"] if top_p is None else float(top_p)
         p = p if (p and 0.0 < p < 1.0) else None
         wavs, toks, specs = [], [], []
+        agg = {"rounds": 0, "drafted": 0, "accepted": 0}
         with self._lock:
             for i in range(0, len(cs), self.batch):
                 part = cs[i:i + self.batch]
@@ -222,12 +235,15 @@ class GenerationService:
                 wavs.append(out["wavs"][:n])
                 toks.append(out["tokens"][:n])
                 specs.append(out["specs"][:n])
+                for f in agg:  # whole-request stats, not last-sub-batch
+                    agg[f] += out.get("spec_stats", {}).get(f, 0)
             self.requests += 1
         res = {"wavs": np.concatenate(wavs),
                "tokens": np.concatenate(toks),
                "specs": np.concatenate(specs)}
-        if out.get("spec_stats"):
-            res["spec_stats"] = out["spec_stats"]
+        if agg["drafted"]:
+            agg["accept_rate"] = round(agg["accepted"] / agg["drafted"], 4)
+            res["spec_stats"] = agg
         return res
 
     def warmup(self):

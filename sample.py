@@ -131,7 +131,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     written = 0
-    out = {}
+    spec_agg = {"rounds": 0, "drafted": 0, "accepted": 0}
     counters = {}
     for start in range(0, len(requests), args.batch):
         batch_cls = requests[start:start + args.batch]
@@ -146,6 +146,8 @@ def main():
                                    if 0.0 < args.top_p < 1.0 else None),
                             sample=not args.deterministic)
         batch_cls = batch_cls[:n_real]
+        for f in spec_agg:  # run-level stats, not last-batch-only
+            spec_agg[f] += out.get("spec_stats", {}).get(f, 0)
         for j, c in enumerate(batch_cls):
             i = counters.get(int(c), 0)
             counters[int(c)] = i + 1
@@ -161,8 +163,10 @@ def main():
     summary = {"written": written, "out_dir": args.out_dir,
                "seconds": round(dt, 2),
                "clips_per_sec": round(written / dt, 2)}
-    if out.get("spec_stats"):
-        summary["speculative"] = out["spec_stats"]
+    if spec_agg["drafted"]:
+        spec_agg["accept_rate"] = round(
+            spec_agg["accepted"] / spec_agg["drafted"], 4)
+        summary["speculative"] = spec_agg
     print(json.dumps(summary))
 
 

@@ -155,3 +155,40 @@ def test_service_top_k_zero_disables_and_temperature_validated():
         svc.generate([1], temperature=0.0)
     with pytest.raises(ValueError, match="temperature"):
         svc.generate([1], temperature=-1)
+
+
+def test_http_speculative_stats_surface():
+    """A draft-enabled service reports acceptance through the JSON API."""
+    import jax.numpy as jnp
+    from melspec_gpt_vqvae_tpu.configs import GPTConfig
+    from melspec_gpt_vqvae_tpu.models.gpt import init_gpt_params
+    from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline
+    svc = _tiny_service(batch=2)
+    pipe = svc.pipe
+    dcfg = GPTConfig(vocab_size=pipe.gcfg.vocab_size,
+                     block_size=pipe.gcfg.block_size, n_layer=1,
+                     n_head=2, n_embd=pipe.gcfg.n_embd,
+                     class_size=pipe.gcfg.class_size)
+    spipe = GenerationPipeline(pipe.exp, pipe.gpt_params, pipe.vq_params,
+                               pipe.voc_params, segments=2, chunk=0,
+                               bf16=False, gamma=2,
+                               draft_params=init_gpt_params(
+                                   jax.random.PRNGKey(3), dcfg),
+                               draft_cfg=dcfg)
+    ssvc = GenerationService(spipe.exp, spipe, batch=2, seed=7)
+    httpd = serve(ssvc, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/generate",
+            data=json.dumps({"classes": [0, 1], "seed": 3,
+                             "format": "json"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        sp = body["speculative"]
+        assert sp["rounds"] >= 1
+        assert 0.0 <= sp["accept_rate"] <= 1.0
+    finally:
+        httpd.shutdown()
