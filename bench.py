@@ -77,8 +77,13 @@ def main():
         voc_params = to_bf16(voc_params)
 
     use_pallas_mel = os.environ.get("BENCH_PALLAS_MEL", "1") == "1" and on_tpu
+    # int8 tokenize (encoder convs): opt-in and SEPARATE from the decode
+    # knob — int8 near the codebook argmin can flip code indices
+    # (scripts/int8_quality.py reports the flip rate); the parity-gated
+    # extract_codes path never uses it
+    int8_tok = os.environ.get("BENCH_INT8_TOK", "0") == "1" and on_tpu
 
-    def tokenize(vqp, wav):
+    def tokenize(vqp, qs, wav):
         """wav (B, 220500) -> mel -> [-1,1] crop -> VQ codes (B, 265)."""
         if use_pallas_mel:
             mel = waveform_to_mel_pallas(wav, mcfg)       # fused kernel
@@ -88,8 +93,13 @@ def main():
         x = (2.0 * mel - 1.0)[..., None]                  # NHWC
         if on_tpu:
             x = x.astype(jnp.bfloat16)
-        grid = vq.apply({"params": vqp}, x,
-                        method="encode_to_indices")       # (B, 5, 53)
+        if int8_tok:
+            from melspec_gpt_vqvae_tpu.models import quantized as qz
+            grid = qz.encode_to_indices_apply(vqp, vcfg, x,
+                                              qz.Int8Convs(qs))
+        else:
+            grid = vq.apply({"params": vqp}, x,
+                            method="encode_to_indices")   # (B, 5, 53)
         return jnp.swapaxes(grid, 1, 2).reshape(grid.shape[0], -1)
 
     segments = int(os.environ.get("BENCH_SEGMENTS", "8"))
@@ -100,20 +110,36 @@ def main():
                             temperature=1.0, top_k=100, sample=True,
                             segments=segments)
 
-    def detokenize(vqp, vocp, tokens):
+    # int8 decode stage: calibrated per-layer requantisation through the
+    # VQ decoder + vocoder (quality-gated: scripts/int8_quality.py; the
+    # int8 MXU path measured 1.27-1.66x on the stage's dominant shapes)
+    int8_dec = os.environ.get("BENCH_INT8_DECODE", "0") == "1" and on_tpu
+    qstate = None
+    if int8_dec:
+        from melspec_gpt_vqvae_tpu.models.quantized import build_qstate
+        qstate = build_qstate(vq_params, voc_params, vcfg, exp.vocoder)
+
+    def detokenize(vqp, vocp, qs, tokens):
         """(B, 265) GPT-order tokens -> spec -> waveform.
 
         Inverse of tokenize's time-major flatten (sequence_to_grid;
         reference code_reader(reverse=True), minGPT.py:438-456)."""
         grid = tokens.reshape(-1, vcfg.code_w, vcfg.code_h)
         grid = jnp.swapaxes(grid, 1, 2)                   # (B, 5, 53)
-        spec = vq.apply({"params": vqp}, grid,
-                        method="decode_code")[..., 0]     # (B, 80, 848)
+        if int8_dec:
+            from melspec_gpt_vqvae_tpu.models import quantized as qz
+            ex = qz.Int8Convs(qs)
+            spec = qz.decode_code_apply(vqp, vcfg, grid, ex)[..., 0]
+        else:
+            spec = vq.apply({"params": vqp}, grid,
+                            method="decode_code")[..., 0]  # (B, 80, 848)
         mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
         if on_tpu:
             mel01 = mel01.astype(jnp.bfloat16)
-        return melgan.apply({"params": vocp},
-                            jnp.swapaxes(mel01, 1, 2))    # (B, samples)
+        mel01 = jnp.swapaxes(mel01, 1, 2)
+        if int8_dec:
+            return qz.melgan_apply(vocp, exp.vocoder, mel01, ex)
+        return melgan.apply({"params": vocp}, mel01)      # (B, samples)
 
     # params are explicit jit args — closing over them would bake hundreds
     # of MB of weights into the programs as constants (catastrophic compiles)
@@ -127,9 +153,9 @@ def main():
 
     def tokenize_j(wav):
         if not tok_chunk or wav.shape[0] <= tok_chunk:
-            return _tok(vq_params, wav)
+            return _tok(vq_params, tok_qstate, wav)
         return jnp.concatenate(
-            [_tok(vq_params, wav[i:i + tok_chunk])
+            [_tok(vq_params, tok_qstate, wav[i:i + tok_chunk])
              for i in range(0, wav.shape[0], tok_chunk)], axis=0)
     # chunked detokenize bounds VQ-decoder/vocoder activation memory so
     # B can exceed 128 (decode throughput rises with batch)
@@ -137,9 +163,9 @@ def main():
 
     def detokenize_j(toks):
         if not detok_chunk or toks.shape[0] <= detok_chunk:
-            return _det(vq_params, voc_params, toks)
+            return _det(vq_params, voc_params, qstate, toks)
         return jnp.concatenate(
-            [_det(vq_params, voc_params, toks[i:i + detok_chunk])
+            [_det(vq_params, voc_params, qstate, toks[i:i + detok_chunk])
              for i in range(0, toks.shape[0], detok_chunk)], axis=0)
 
     # deterministic tone/chirp battery (shared with parity_check.py) tiled
@@ -148,6 +174,14 @@ def main():
     battery = make_battery(mcfg.clip_samples)
     reps = -(-B // battery.shape[0])
     wav = jnp.asarray(np.tile(battery, (reps, 1))[:B], jnp.float32)
+
+    tok_qstate = None
+    if int8_tok:
+        from melspec_gpt_vqvae_tpu.models.quantized import build_encode_qstate
+        mel_c = jax.jit(lambda w: waveform_to_mel(w, mcfg))(wav[:32])
+        x_c = (2.0 * mel_c[:, :, 6:854] - 1.0)[..., None].astype(
+            jnp.bfloat16 if on_tpu else jnp.float32)
+        tok_qstate = build_encode_qstate(vq_params, vcfg, x_c)
     rng = np.random.default_rng(0)
     cls = jnp.asarray(rng.integers(0, gcfg.class_size, (B,)), jnp.int32)
 
@@ -201,6 +235,8 @@ def main():
         "platform": platform,
         "kv_cache": gcfg.cache_dtype,
         "decode_weights": gcfg.decode_weight_dtype,
+        "int8_decode": int8_dec,
+        "int8_tokenize": int8_tok,
         "stage_seconds": {"tokenize": round(t_tok, 4),
                           "gpt_decode": round(t_gen, 4),
                           "vq_decode+vocoder": round(t_dec, 4)},

@@ -42,6 +42,11 @@ def main():
     parser.add_argument("-n_e", "--num_embeddings", type=int, default=128)
     parser.add_argument("-crop", "--spec_crop_len", type=int, default=848)
     parser.add_argument("-b", "--batch_size", type=int, default=8)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 encoder convs: 1.4-1.7x throughput, but "
+                             "code indices can flip vs the f32 parity path "
+                             "(flip rate in INT8_DECODE.json) — NOT for "
+                             "parity-checked corpora")
     args = parser.parse_args()
 
     import jax
@@ -53,7 +58,9 @@ def main():
     # (extract_codes.py:48-50 runs in f32): full-precision MXU passes keep
     # TPU code indices matching the CPU/reference path (default bf16 passes
     # flip indices near codebook decision boundaries — PARITY_CODES.json).
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # --int8 opts OUT of that guarantee for speed.
+    if not args.int8:
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
     from melspec_gpt_vqvae_tpu.data.transforms import center_crop
@@ -65,8 +72,23 @@ def main():
                       resolution=args.spec_crop_len)
     params = load_vqvae_params(args.model_dir, cfg)
     model = VQModel(cfg)
-    encode = jax.jit(lambda x: model.apply({"params": params}, x,
-                                           method="encode_to_indices"))
+    if args.int8:
+        # calibrated int8 encoder convs (models/quantized.py); activation
+        # scales calibrated on the first real batch of this corpus
+        from melspec_gpt_vqvae_tpu.models import quantized as qz
+        _enc = jax.jit(lambda p, qs, x: qz.encode_to_indices_apply(
+            p, cfg, x, qz.Int8Convs(qs)))
+        _box = {}
+
+        def encode(x):
+            if "qs" not in _box:
+                _box["qs"] = qz.build_encode_qstate(params, cfg, x,
+                                                    batch=x.shape[0])
+                print("\nint8: encoder calibrated on the first batch")
+            return _enc(params, _box["qs"], x)
+    else:
+        encode = jax.jit(lambda x: model.apply({"params": params}, x,
+                                               method="encode_to_indices"))
 
     for mel_dir in iter_mel_dirs(args.input_dir):
         save_dir = os.path.join(os.path.dirname(mel_dir), "codes_10s")

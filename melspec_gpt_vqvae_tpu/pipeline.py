@@ -53,7 +53,8 @@ class GenerationPipeline:
     def __init__(self, exp: ExperimentConfig, gpt_params, vq_params,
                  voc_params, *, segments: int = 8, chunk: int = 128,
                  bf16: Optional[bool] = None, use_pallas=None, mesh=None,
-                 draft_params=None, draft_cfg=None, gamma: int = 4):
+                 draft_params=None, draft_cfg=None, gamma: int = 4,
+                 int8_decode: bool = False):
         self.exp = exp
         self.gcfg = exp.model
         self.vcfg = exp.vqvae
@@ -95,6 +96,21 @@ class GenerationPipeline:
         self._bf16 = bf16
         self._use_pallas = use_pallas
 
+        # int8 decode stage (quality-gated opt-in; scripts/int8_quality.py):
+        # calibrated per-layer requantisation through the VQ decoder +
+        # vocoder conv stacks — measured 1.27-1.66x on the stage's dominant
+        # shapes (BENCH_NOTES.md "int8 convolutions")
+        self._qstate = None
+        if int8_decode:
+            from .models import quantized as qz
+            self._qstate = qz.build_qstate(vq_params, voc_params,
+                                           self.vcfg, exp.vocoder,
+                                           n_calib=32, batch=16)
+            if mesh is not None:
+                from .parallel.mesh import replicated
+                self._qstate = jax.device_put(self._qstate,
+                                              replicated(mesh))
+
         vq = VQModel(self.vcfg)
         melgan = MelGANGenerator(exp.vocoder)
         steps = self.vcfg.code_h * self.vcfg.code_w
@@ -130,25 +146,33 @@ class GenerationPipeline:
                                     use_pallas=use_pallas)
                 return toks, {}
 
-        def _decode_spec(vqp, tokens):
+        def _decode_spec(vqp, qs, tokens):
             # GPT order -> (B, code_h, code_w) raster: jnp form of
             # utils.codes.sequence_to_grid (that helper is host-side numpy;
             # reference code_reader(reverse=True), minGPT.py:438-456)
             grid = jnp.swapaxes(
                 tokens.reshape(-1, self.vcfg.code_w, self.vcfg.code_h),
                 1, 2)
+            if qs is not None:
+                from .models import quantized as qz
+                return qz.decode_code_apply(vqp, self.vcfg, grid,
+                                            qz.Int8Convs(qs))[..., 0]
             return vq.apply({"params": vqp}, grid,
                             method="decode_code")[..., 0]
 
-        def _vocode(vocp, spec):
+        def _vocode(vocp, qs, spec):
             # spec in [-1,1] (dataset scaling, datasets/vas.py:81) ->
             # [0,1] mel -> waveform
             mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
                              0.0, 1.0)
             if self._bf16:
                 mel01 = mel01.astype(jnp.bfloat16)
-            return melgan.apply({"params": vocp},
-                                jnp.swapaxes(mel01, 1, 2))
+            mel01 = jnp.swapaxes(mel01, 1, 2)
+            if qs is not None:
+                from .models import quantized as qz
+                return qz.melgan_apply(vocp, exp.vocoder, mel01,
+                                       qz.Int8Convs(qs))
+            return melgan.apply({"params": vocp}, mel01)
 
         # sample=True/False retrace via static_argnums on the inner jit;
         # temperature/top_k stay traced where possible (gpt_generate takes
@@ -171,9 +195,11 @@ class GenerationPipeline:
             cls = put_batch(self.mesh, cls)
         toks, stats = self._gen(self.gpt_params, self.draft_params, cls,
                                 key, temperature, top_k, top_p, sample)
-        specs = _chunked(functools.partial(self._dec, self.vq_params),
+        specs = _chunked(functools.partial(self._dec, self.vq_params,
+                                           self._qstate),
                          toks, self.chunk)
-        wavs = _chunked(functools.partial(self._voc, self.voc_params),
+        wavs = _chunked(functools.partial(self._voc, self.voc_params,
+                                          self._qstate),
                         specs, self.chunk)
         out = {"tokens": np.asarray(toks),
                "specs": np.asarray(specs, np.float32),

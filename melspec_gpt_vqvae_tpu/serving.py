@@ -67,7 +67,8 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
                    int8_weights: Optional[int] = None, mesh_spec: str = "",
                    draft_experiment: Optional[str] = None,
                    draft_resume: str = "best", draft_override: str = "",
-                   draft_random: str = "", gamma: int = 4):
+                   draft_random: str = "", gamma: int = 4,
+                   int8_decode: bool = False):
     """Load weights and construct the jit-once GenerationPipeline.
 
     The common loading path of ``sample.py`` and ``serve.py``: GPT weights
@@ -171,7 +172,8 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
     pipe = GenerationPipeline(exp, gpt_params, vq_params, voc_params,
                               segments=segments, chunk=chunk, mesh=mesh,
                               draft_params=draft_params,
-                              draft_cfg=draft_cfg, gamma=gamma)
+                              draft_cfg=draft_cfg, gamma=gamma,
+                              int8_decode=int8_decode)
     return exp, pipe, mesh
 
 

@@ -67,6 +67,9 @@ def parse_args():
                    help="default: int8 on TPU, auto elsewhere")
     p.add_argument("--int8_weights", type=int, default=None,
                    help="stream int8 decode weights (default: 1 on TPU)")
+    p.add_argument("--int8_decode", action="store_true",
+                   help="calibrated int8 VQ-decoder + vocoder convs "
+                        "(quality-gated; scripts/int8_quality.py)")
     p.add_argument("--mesh", type=str, default="",
                    help="serve over a device mesh, e.g. 'data=4' (batch "
                         "sharded) or 'data=2,model=2' (Megatron-TP GPT "
@@ -116,7 +119,8 @@ def main():
         kv_cache=args.kv_cache, int8_weights=args.int8_weights,
         mesh_spec=args.mesh, draft_experiment=args.draft_experiment,
         draft_resume=args.draft_resume, draft_override=args.draft_override,
-        draft_random=args.draft_random, gamma=args.gamma)
+        draft_random=args.draft_random, gamma=args.gamma,
+        int8_decode=args.int8_decode)
 
     # --- sampling --------------------------------------------------------
     if args.classes == "all":

@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--kv_cache", type=str, default=None,
                    choices=["auto", "int8"])
     p.add_argument("--int8_weights", type=int, default=None)
+    p.add_argument("--int8_decode", action="store_true",
+                   help="calibrated int8 VQ-decoder + vocoder convs "
+                        "(quality-gated; scripts/int8_quality.py)")
     p.add_argument("--mesh", type=str, default="",
                    help="e.g. 'data=4' or 'data=2,model=2' (multi-chip)")
     p.add_argument("--override", type=str, default="")
@@ -89,7 +92,8 @@ def main():
         kv_cache=args.kv_cache, int8_weights=args.int8_weights,
         mesh_spec=args.mesh, draft_experiment=args.draft_experiment,
         draft_resume=args.draft_resume, draft_override=args.draft_override,
-        draft_random=args.draft_random, gamma=args.gamma)
+        draft_random=args.draft_random, gamma=args.gamma,
+        int8_decode=args.int8_decode)
     svc = GenerationService(
         exp, pipe, mesh, batch=args.batch, seed=args.seed,
         temperature=args.temperature, top_k=args.top_k,
