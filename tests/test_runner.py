@@ -156,3 +156,37 @@ def test_train_report_stays_on_device(vas_tree):
     _, _, report = task.train_step(state, batch, jax.random.PRNGKey(0))
     for k, v in report.items():
         assert isinstance(v, jnp.ndarray), k
+
+
+def test_multi_bleu(tmp_path):
+    """Pure-Python multi-bleu (reference shells to a perl script absent
+    from its own repo, utils.py:250-267): perfect match -> 100; known
+    mismatch -> the hand-computed pooled-precision score."""
+    import utils as root_utils
+
+    hyp = tmp_path / "hyp.txt"
+    ref = tmp_path / "ref.txt"
+    lines = ["1 2 3 4 5 6", "7 8 9 10 11 12"]
+    hyp.write_text("\n".join(lines) + "\n")
+    ref.write_text("\n".join(lines) + "\n")
+    assert root_utils.call_multi_bleu_perl(
+        "ignored", str(hyp), str(ref), verbose=False) == 100.0
+
+    # one token flipped in line 1: pooled precisions over both lines are
+    # p1=11/12, p2=8/10, p3=5/8, p4=3/6; BP=1 (equal lengths)
+    import math
+    hyp.write_text("1 2 3 0 5 6\n7 8 9 10 11 12\n")
+    expect = 100.0 * math.exp(
+        (math.log(11 / 12) + math.log(8 / 10) + math.log(5 / 8)
+         + math.log(3 / 6)) / 4)
+    got = root_utils.call_multi_bleu_perl("ignored", str(hyp), str(ref),
+                                          verbose=False)
+    assert abs(got - expect) < 1e-9
+
+    # brevity penalty: hyp shorter than ref
+    hyp.write_text("1 2 3\n7 8 9\n")
+    got = root_utils.call_multi_bleu_perl("ignored", str(hyp), str(ref),
+                                          verbose=False)
+    bleu, prec, bp, hl, rl = root_utils.corpus_bleu(
+        ["1 2 3", "7 8 9"], lines)
+    assert bp == math.exp(1 - 12 / 6) and got == bleu

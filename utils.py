@@ -109,13 +109,56 @@ def reconstruct(task, state, loader, strategy: str, fname: str, key=None):
                 f.write(" ".join(str(int(t)) for t in row) + "\n")
 
 
+def corpus_bleu(hyp_lines, ref_lines, max_n: int = 4):
+    """Corpus BLEU with the multi-bleu.perl semantics: modified n-gram
+    precision for n=1..4 pooled over the corpus, geometric mean, brevity
+    penalty exp(1 - ref_len/hyp_len) when hyp is shorter.  Returns
+    (bleu_percent, precisions, bp, hyp_len, ref_len)."""
+    from collections import Counter
+
+    match = [0] * max_n
+    total = [0] * max_n
+    hyp_len = ref_len = 0
+    for hyp, ref in zip(hyp_lines, ref_lines):
+        h, r = hyp.split(), ref.split()
+        hyp_len += len(h)
+        ref_len += len(r)
+        for n in range(1, max_n + 1):
+            hc = Counter(tuple(h[i:i + n]) for i in range(len(h) - n + 1))
+            rc = Counter(tuple(r[i:i + n]) for i in range(len(r) - n + 1))
+            total[n - 1] += max(0, len(h) - n + 1)
+            match[n - 1] += sum(min(c, rc[g]) for g, c in hc.items())
+    precisions = [m / t if t else 0.0 for m, t in zip(match, total)]
+    if min(precisions) > 0:
+        log_avg = sum(math.log(p) for p in precisions) / max_n
+        geo = math.exp(log_avg)
+    else:
+        geo = 0.0
+    bp = 1.0 if hyp_len > ref_len or hyp_len == 0 else math.exp(
+        1.0 - ref_len / hyp_len)
+    return 100.0 * bp * geo, precisions, bp, hyp_len, ref_len
+
+
 def call_multi_bleu_perl(fname_bleu: str, fname_hyp: str, fname_ref: str,
-                         verbose: bool = True):
-    """The reference shells out to scripts/multi-bleu.perl, which does not
-    exist in its repo either (utils.py:250-267); kept as an explicit stub
-    for API parity."""
-    if not os.path.exists(fname_bleu):
-        raise FileNotFoundError(
-            f"{fname_bleu} not found (absent from the reference repo too); "
-            "BLEU scoring of code sequences is not meaningful here.")
-    raise NotImplementedError
+                         verbose: bool = True) -> float:
+    """BLEU of a reconstruction dump vs the original token rows.
+
+    The reference shells out to scripts/multi-bleu.perl — a script absent
+    from its own repo (utils.py:250-267), so its version can never run.
+    This one computes the same score in pure Python (``corpus_bleu``
+    reimplements the perl's pooled modified-precision + brevity-penalty
+    math) and returns the float the reference would have parsed from
+    "BLEU = X, ...".  ``fname_bleu`` is accepted for signature parity and
+    ignored."""
+    with open(fname_hyp) as f:
+        hyp = [ln.rstrip("\n") for ln in f]
+    with open(fname_ref) as f:
+        ref = [ln.rstrip("\n") for ln in f]
+    if len(hyp) != len(ref):
+        raise ValueError(f"hyp has {len(hyp)} lines, ref has {len(ref)}")
+    bleu, prec, bp, hl, rl = corpus_bleu(hyp, ref)
+    if verbose:
+        pstr = "/".join(f"{100 * p:.1f}" for p in prec)
+        print(f"BLEU = {bleu:.2f}, {pstr} "
+              f"(BP={bp:.3f}, hyp_len={hl}, ref_len={rl})")
+    return bleu
