@@ -1,10 +1,13 @@
 """int8-quantised inference mirrors of the VQ decoder and MelGAN vocoder.
 
 The decode stage (VQ ``decode_code`` + vocoder) is compute-bound at 73%
-of the *bf16* MXU peak (BENCH_NOTES.md "VQ-decoder profile"), so the one
-remaining single-chip lever is raising the peak itself: v5e's MXU doubles
-throughput for int8, and XLA routes int8 convs onto that path (measured
-1.27-1.66x on the stage's dominant shapes, scripts/int8_conv_probe.py).
+of the *bf16* MXU peak (BENCH_NOTES.md "VQ-decoder profile"); int8 would
+raise the peak itself.  OUTCOME (measured, BENCH_NOTES.md int8-decode
+e2e section): the quality gate passes but the stage runs SLOWER than
+bf16 end-to-end — per-conv requantisation passes and the vocoder's
+small-channel long-T convs erase the isolated-shape 1.27-1.66x
+(scripts/int8_conv_probe.py pre-quantised its inputs).  Kept as the
+documented opt-in experiment; the production decode stays bf16.
 
 Unlike the int8 KV cache / weight streaming (which dequantise into bf16
 math), this runs int8 ACTIVATIONS through the conv stacks, so it needs

@@ -96,10 +96,10 @@ class GenerationPipeline:
         self._bf16 = bf16
         self._use_pallas = use_pallas
 
-        # int8 decode stage (quality-gated opt-in; scripts/int8_quality.py):
-        # calibrated per-layer requantisation through the VQ decoder +
-        # vocoder conv stacks — measured 1.27-1.66x on the stage's dominant
-        # shapes (BENCH_NOTES.md "int8 convolutions")
+        # int8 decode stage (opt-in EXPERIMENT): calibrated per-layer
+        # requantisation through the VQ decoder + vocoder conv stacks.
+        # Quality-gated PASS (INT8_DECODE.json) but measured SLOWER e2e
+        # than bf16 on v5e (BENCH_NOTES.md int8-decode section)
         self._qstate = None
         if int8_decode:
             from .models import quantized as qz

@@ -69,7 +69,8 @@ def parse_args():
                    help="stream int8 decode weights (default: 1 on TPU)")
     p.add_argument("--int8_decode", action="store_true",
                    help="calibrated int8 VQ-decoder + vocoder convs "
-                        "(quality-gated; scripts/int8_quality.py)")
+                        "(quality-gated; measured SLOWER e2e than bf16 "
+                        "on v5e — BENCH_NOTES.md; kept as an experiment)")
     p.add_argument("--mesh", type=str, default="",
                    help="serve over a device mesh, e.g. 'data=4' (batch "
                         "sharded) or 'data=2,model=2' (Megatron-TP GPT "

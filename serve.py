@@ -52,7 +52,8 @@ def parse_args():
     p.add_argument("--int8_weights", type=int, default=None)
     p.add_argument("--int8_decode", action="store_true",
                    help="calibrated int8 VQ-decoder + vocoder convs "
-                        "(quality-gated; scripts/int8_quality.py)")
+                        "(quality-gated; measured SLOWER e2e than bf16 "
+                        "on v5e — BENCH_NOTES.md; kept as an experiment)")
     p.add_argument("--mesh", type=str, default="",
                    help="e.g. 'data=4' or 'data=2,model=2' (multi-chip)")
     p.add_argument("--override", type=str, default="")
