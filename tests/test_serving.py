@@ -192,3 +192,53 @@ def test_http_speculative_stats_surface():
         assert 0.0 <= sp["accept_rate"] <= 1.0
     finally:
         httpd.shutdown()
+
+
+def test_aot_export_roundtrip(tmp_path):
+    """jax.export artifact: serialize -> fresh deserialize -> call gives
+    the SAME tokens/specs/wavs as the live pipeline with the same seed
+    (export.py: weights stay arguments, knobs baked, seed-keyed PRNG)."""
+    import jax.numpy as jnp
+
+    from melspec_gpt_vqvae_tpu import export as aot
+
+    pipe = _tiny_service(batch=2).pipe
+    ex = aot.export_serving(pipe, 2, temperature=0.9, top_k=8)
+    path = str(tmp_path / "pipe.stablehlo")
+    nbytes = aot.save_exported(ex, path)
+    assert nbytes > 0
+    loaded = aot.load_exported(path)
+
+    cls = jnp.asarray([1, 3], jnp.int32)
+    toks, specs, wavs = loaded.call(
+        pipe.gpt_params, pipe.vq_params, pipe.voc_params, cls,
+        jnp.asarray(7, jnp.uint32))
+    live = pipe.generate(np.asarray([1, 3]), jax.random.PRNGKey(7),
+                         temperature=0.9, top_k=8)
+    np.testing.assert_array_equal(np.asarray(toks), live["tokens"])
+    np.testing.assert_allclose(np.asarray(specs, np.float32),
+                               live["specs"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wavs, np.float32),
+                               live["wavs"], rtol=1e-5, atol=1e-5)
+    assert wavs.shape == live["wavs"].shape
+
+
+def test_aot_export_rejects_unexportable_pipelines():
+    from melspec_gpt_vqvae_tpu import export as aot
+    from melspec_gpt_vqvae_tpu.configs import GPTConfig
+    from melspec_gpt_vqvae_tpu.models.gpt import init_gpt_params
+    from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline
+
+    pipe = _tiny_service(batch=2).pipe
+    dcfg = GPTConfig(vocab_size=pipe.gcfg.vocab_size,
+                     block_size=pipe.gcfg.block_size, n_layer=1,
+                     n_head=2, n_embd=pipe.gcfg.n_embd,
+                     class_size=pipe.gcfg.class_size)
+    spipe = GenerationPipeline(pipe.exp, pipe.gpt_params, pipe.vq_params,
+                               pipe.voc_params, segments=2, chunk=0,
+                               bf16=False, gamma=2,
+                               draft_params=init_gpt_params(
+                                   jax.random.PRNGKey(3), dcfg),
+                               draft_cfg=dcfg)
+    with pytest.raises(ValueError, match="speculative"):
+        aot.export_serving(spipe, 2)
