@@ -91,13 +91,20 @@ def export_serving(pipe, batch: int, *, temperature: float = 1.0,
     return jax_export.export(jax.jit(fn), **kw)(*args)
 
 
-def save_exported(exported, path: str) -> int:
-    """Serialize to ``path``; returns the byte count."""
+def save_exported(exported, path: str, meta: Optional[dict] = None) -> int:
+    """Serialize to ``path``; returns the byte count.  ``meta`` (the baked
+    serving knobs: batch / temperature / top_k / top_p / sample) is written
+    to a ``path + ".json"`` sidecar so a server can validate requests
+    against what the artifact was traced with."""
     blob = exported.serialize()
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
+    if meta is not None:
+        import json
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=1)
     return len(blob)
 
 
@@ -107,3 +114,80 @@ def load_exported(path: str):
     seed)`` — trees must match the exported geometry exactly."""
     with open(path, "rb") as f:
         return jax_export.deserialize(f.read())
+
+
+def load_artifact(path: str):
+    """(exported, meta-or-None) — meta from the ``.json`` sidecar."""
+    meta = None
+    if os.path.isfile(path + ".json"):
+        import json
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return load_exported(path), meta
+
+
+class ArtifactPipeline:
+    """``GenerationPipeline.generate``-shaped adapter over a deserialized
+    artifact, so ``serving.GenerationService`` (and therefore serve.py)
+    can serve HTTP directly from the AOT program.
+
+    The artifact is a fixed program: the batch and the sampling knobs are
+    whatever export baked in.  Requests whose knobs differ are rejected
+    loudly (re-export for a different configuration) — the live pipeline
+    would recompile instead, which a fleet artifact must never do."""
+
+    def __init__(self, exported, meta: dict, gpt_params, vq_params,
+                 voc_params):
+        self.exported = exported
+        self.meta = dict(meta)
+        self.gpt_params = gpt_params
+        self.vq_params = vq_params
+        self.voc_params = voc_params
+        self.batch = int(meta["batch"])
+        # GenerationService.warmup honors this: only the baked mode exists
+        self.sample_modes = (bool(meta["sample"]),)
+
+    @classmethod
+    def from_file(cls, path: str, pipe):
+        """Wrap ``path`` around the weight trees of an already-built
+        ``GenerationPipeline`` (same loading path as live serving, so
+        dtypes/trees match what the artifact was exported from)."""
+        exported, meta = load_artifact(path)
+        if meta is None:
+            raise ValueError(f"{path}.json sidecar missing — export with "
+                             "scripts/export_serving.py (it records the "
+                             "baked batch + sampling knobs)")
+        return cls(exported, meta, pipe.gpt_params, pipe.vq_params,
+                   pipe.voc_params)
+
+    def _check(self, name, requested, baked):
+        if requested != baked:
+            raise ValueError(
+                f"{name}={requested!r} differs from the artifact's baked "
+                f"{name}={baked!r}; re-export (scripts/export_serving.py) "
+                "for a different serving configuration")
+
+    def generate(self, classes, key, *, temperature: float = 1.0,
+                 top_k: Optional[int] = 100, top_p: Optional[float] = None,
+                 sample: bool = True):
+        import numpy as np
+        m = self.meta
+        self._check("temperature", float(temperature),
+                    float(m["temperature"]))
+        self._check("top_k", top_k or None, m["top_k"] or None)
+        self._check("top_p", top_p or None, m["top_p"] or None)
+        self._check("sample", bool(sample), bool(m["sample"]))
+        cls_arr = jnp.asarray(classes, jnp.int32)
+        if cls_arr.shape[0] != self.batch:
+            raise ValueError(f"artifact batch is {self.batch}, got "
+                             f"{cls_arr.shape[0]} classes")
+        # the artifact takes a uint32 seed and builds the key inside; the
+        # last key-data word IS the seed for explicitly-seeded requests
+        # (PRNGKey(s) data == [0, s]) and a well-mixed word for split keys
+        kd = np.asarray(jax.random.key_data(key)).ravel()
+        seed = jnp.asarray(np.uint32(kd[-1]), jnp.uint32)
+        toks, specs, wavs = self.exported.call(
+            self.gpt_params, self.vq_params, self.voc_params, cls_arr, seed)
+        return {"tokens": np.asarray(toks),
+                "specs": np.asarray(specs, np.float32),
+                "wavs": np.asarray(wavs, np.float32)}

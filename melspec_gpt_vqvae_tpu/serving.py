@@ -249,10 +249,12 @@ class GenerationService:
         return res
 
     def warmup(self):
-        """Compile the serving program before accepting traffic."""
+        """Compile the serving program before accepting traffic.  An
+        AOT ArtifactPipeline bakes ONE sample mode (export.py), so it
+        advertises ``sample_modes``; the live pipeline compiles both."""
         t0 = time.time()
-        self.generate([0], sample=True)
-        self.generate([0], sample=False)
+        for mode in getattr(self.pipe, "sample_modes", (True, False)):
+            self.generate([0], sample=mode)
         print(f"warmup: compiled in {time.time() - t0:.1f}s "
               f"(batch {self.batch})")
 

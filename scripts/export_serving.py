@@ -36,6 +36,8 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=100)
     p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--deterministic", action="store_true",
+                   help="bake greedy decode instead of sampling")
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--platforms", default="",
                    help="comma list, e.g. 'cpu,tpu' (default: current)")
@@ -59,8 +61,12 @@ def main():
     ex = aot.export_serving(pipe, args.batch,
                             temperature=args.temperature,
                             top_k=args.top_k or None, top_p=args.top_p,
+                            sample=not args.deterministic,
                             platforms=platforms)
-    n = aot.save_exported(ex, args.out)
+    meta = {"batch": args.batch, "temperature": args.temperature,
+            "top_k": args.top_k or None, "top_p": args.top_p,
+            "sample": not args.deterministic, "dataset": args.dataset}
+    n = aot.save_exported(ex, args.out, meta)
     print(f"wrote {args.out}: {n / 1e6:.2f} MB, batch={args.batch}, "
           f"platforms={platforms or [jax.devices()[0].platform]}, "
           f"temperature={args.temperature} top_k={args.top_k} "

@@ -66,6 +66,11 @@ def parse_args():
     p.add_argument("--draft_random", type=str, default="",
                    help="random-init draft config (mechanics smoke)")
     p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--artifact", type=str, default="",
+                   help="serve from an AOT StableHLO export "
+                        "(scripts/export_serving.py): no retracing; the "
+                        "batch + sampling knobs come from its sidecar and "
+                        "differing requests get a 400")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no_warmup", action="store_true",
@@ -95,10 +100,28 @@ def main():
         draft_resume=args.draft_resume, draft_override=args.draft_override,
         draft_random=args.draft_random, gamma=args.gamma,
         int8_decode=args.int8_decode)
-    svc = GenerationService(
-        exp, pipe, mesh, batch=args.batch, seed=args.seed,
-        temperature=args.temperature, top_k=args.top_k,
-        top_p=args.top_p if 0.0 < args.top_p < 1.0 else None)
+    if args.artifact:
+        # AOT path: the artifact's sidecar dictates batch + knobs (the
+        # program is fixed); weights come from the just-built pipeline so
+        # trees/dtypes match the export
+        from melspec_gpt_vqvae_tpu.export import ArtifactPipeline
+        if mesh is not None or args.draft_experiment or args.draft_random:
+            raise SystemExit("--artifact is single-device, no draft "
+                             "(export.py contract)")
+        pipe = ArtifactPipeline.from_file(args.artifact, pipe)
+        m = pipe.meta
+        svc = GenerationService(
+            exp, pipe, None, batch=pipe.batch, seed=args.seed,
+            temperature=m["temperature"], top_k=m["top_k"],
+            top_p=m["top_p"])
+        print(f"artifact: {args.artifact} (batch {pipe.batch}, "
+              f"temperature {m['temperature']}, top_k {m['top_k']}, "
+              f"top_p {m['top_p']}, sample {m['sample']})")
+    else:
+        svc = GenerationService(
+            exp, pipe, mesh, batch=args.batch, seed=args.seed,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p if 0.0 < args.top_p < 1.0 else None)
     if not args.no_warmup:
         svc.warmup()
     httpd = serve(svc, args.host, args.port)

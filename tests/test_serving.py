@@ -242,3 +242,54 @@ def test_aot_export_rejects_unexportable_pipelines():
                                draft_cfg=dcfg)
     with pytest.raises(ValueError, match="speculative"):
         aot.export_serving(spipe, 2)
+
+
+def test_artifact_http_serving(tmp_path):
+    """serve.py --artifact path: the GenerationService runs on an
+    ArtifactPipeline — explicit-seed requests match the live pipeline
+    bitwise, warmup compiles only the baked mode, and requests whose
+    knobs differ from the sidecar get a clean 400."""
+    from melspec_gpt_vqvae_tpu import export as aot
+
+    pipe = _tiny_service(batch=2).pipe
+    ex = aot.export_serving(pipe, 2, temperature=0.9, top_k=8)
+    path = str(tmp_path / "p.stablehlo")
+    aot.save_exported(ex, path, {"batch": 2, "temperature": 0.9,
+                                 "top_k": 8, "top_p": None, "sample": True})
+    apipe = aot.ArtifactPipeline.from_file(path, pipe)
+    assert apipe.sample_modes == (True,)
+    svc = GenerationService(pipe.exp, apipe, batch=apipe.batch, seed=7,
+                            temperature=0.9, top_k=8, top_p=None)
+    svc.warmup()
+
+    a = svc.generate([1, 2], seed=11)
+    b = svc.generate([1, 2], seed=11)
+    np.testing.assert_array_equal(a["tokens"], b["tokens"])
+    # PRNGKey(s) key-data ends in s -> the artifact rebuilds the same key
+    live = pipe.generate(np.asarray([1, 2]), jax.random.PRNGKey(11),
+                         temperature=0.9, top_k=8)
+    np.testing.assert_array_equal(a["tokens"], live["tokens"])
+    with pytest.raises(ValueError, match="baked"):
+        svc.generate([1], temperature=0.5)
+
+    httpd = serve(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/generate?class=1&seed=3") as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            wave.open(io.BytesIO(r.read()))  # parses as WAV
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"classes": [0], "temperature": 0.5}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "baked" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
