@@ -91,6 +91,29 @@ def export_serving(pipe, batch: int, *, temperature: float = 1.0,
     return jax_export.export(jax.jit(fn), **kw)(*args)
 
 
+def tree_dtypes(pipe) -> dict:
+    """Flat per-leaf dtype record of the pipeline's three weight trees, in
+    ``tree_leaves`` order — written to the sidecar so a server built under
+    a *different* dtype policy (build_pipeline casts f32 on CPU vs bf16 on
+    TPU, serving.py:95-98 / pipeline.py:72-76) can cast its live trees to
+    what the artifact's input avals expect (ArtifactPipeline.from_file)."""
+    leaves = lambda t: [str(a.dtype) for a in jax.tree_util.tree_leaves(t)]
+    return {"gpt": leaves(pipe.gpt_params), "vq": leaves(pipe.vq_params),
+            "voc": leaves(pipe.voc_params)}
+
+
+def _cast_tree(tree, dtypes, name):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    if len(flat) != len(dtypes):
+        raise ValueError(
+            f"artifact expects {len(dtypes)} {name} leaves, live pipeline "
+            f"has {len(flat)} — geometry mismatch (wrong checkpoint/preset "
+            "for this artifact)")
+    flat = [a.astype(jnp.dtype(d)) if str(a.dtype) != d else a
+            for a, d in zip(flat, dtypes)]
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
 def save_exported(exported, path: str, meta: Optional[dict] = None) -> int:
     """Serialize to ``path``; returns the byte count.  ``meta`` (the baked
     serving knobs: batch / temperature / top_k / top_p / sample) is written
@@ -150,15 +173,23 @@ class ArtifactPipeline:
     @classmethod
     def from_file(cls, path: str, pipe):
         """Wrap ``path`` around the weight trees of an already-built
-        ``GenerationPipeline`` (same loading path as live serving, so
-        dtypes/trees match what the artifact was exported from)."""
+        ``GenerationPipeline``.  The trees are cast leaf-wise to the
+        dtypes recorded in the sidecar at export time, so an artifact
+        exported on a CPU dev host (f32 policy) serves from a TPU-built
+        pipeline (bf16 policy) and vice versa — without the cast,
+        ``exported.call`` rejects the trees on input-aval dtype mismatch."""
         exported, meta = load_artifact(path)
         if meta is None:
             raise ValueError(f"{path}.json sidecar missing — export with "
                              "scripts/export_serving.py (it records the "
                              "baked batch + sampling knobs)")
-        return cls(exported, meta, pipe.gpt_params, pipe.vq_params,
-                   pipe.voc_params)
+        gpt, vq, voc = (pipe.gpt_params, pipe.vq_params, pipe.voc_params)
+        wd = meta.get("weight_dtypes")
+        if wd is not None:
+            gpt = _cast_tree(gpt, wd["gpt"], "gpt")
+            vq = _cast_tree(vq, wd["vq"], "vq")
+            voc = _cast_tree(voc, wd["voc"], "voc")
+        return cls(exported, meta, gpt, vq, voc)
 
     def _check(self, name, requested, baked):
         if requested != baked:

@@ -229,7 +229,13 @@ class GenerationService:
                     part = np.concatenate(
                         [part, np.repeat(part[-1:], self.batch - n)])
                 if seed is not None:
-                    key = self._jax.random.PRNGKey(int(seed) + i)
+                    # mask to uint32: the AOT artifact takes a uint32 seed
+                    # scalar (export.py — key built in-program from the
+                    # last key-data word), so explicit seeds must live in
+                    # [0, 2**32) for live and artifact serving to produce
+                    # the same tokens for the same HTTP seed
+                    key = self._jax.random.PRNGKey(
+                        (int(seed) + i) & 0xFFFFFFFF)
                 else:
                     self._key, key = self._jax.random.split(self._key)
                 out = self.pipe.generate(part, key, temperature=t, top_k=k,

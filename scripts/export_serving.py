@@ -65,7 +65,12 @@ def main():
                             platforms=platforms)
     meta = {"batch": args.batch, "temperature": args.temperature,
             "top_k": args.top_k or None, "top_p": args.top_p,
-            "sample": not args.deterministic, "dataset": args.dataset}
+            "sample": not args.deterministic, "dataset": args.dataset,
+            # per-leaf dtypes of the trees the artifact was traced with:
+            # serve.py --artifact casts its live trees to these, so an
+            # artifact exported under one dtype policy (CPU f32) runs on
+            # a server built under another (TPU bf16)
+            "weight_dtypes": aot.tree_dtypes(pipe)}
     n = aot.save_exported(ex, args.out, meta)
     print(f"wrote {args.out}: {n / 1e6:.2f} MB, batch={args.batch}, "
           f"platforms={platforms or [jax.devices()[0].platform]}, "

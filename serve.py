@@ -90,6 +90,14 @@ def main():
     from melspec_gpt_vqvae_tpu.serving import (GenerationService,
                                                build_pipeline, serve)
 
+    if args.artifact and (args.mesh or args.draft_experiment
+                          or args.draft_random or args.int8_decode):
+        # reject BEFORE build_pipeline: these flags would otherwise burn
+        # an expensive build (int8 calibration, mesh shardings) that
+        # ArtifactPipeline then silently drops (export.py contract:
+        # single-device, no draft, no int8-decode state)
+        raise SystemExit("--artifact is single-device, no draft, no "
+                         "--int8_decode (export.py contract)")
     exp, pipe, mesh = build_pipeline(
         args.dataset, experiment=args.experiment, resume=args.resume,
         init_random=args.init_random, vqvae_ckpt=args.vqvae_ckpt,
@@ -105,9 +113,6 @@ def main():
         # program is fixed); weights come from the just-built pipeline so
         # trees/dtypes match the export
         from melspec_gpt_vqvae_tpu.export import ArtifactPipeline
-        if mesh is not None or args.draft_experiment or args.draft_random:
-            raise SystemExit("--artifact is single-device, no draft "
-                             "(export.py contract)")
         pipe = ArtifactPipeline.from_file(args.artifact, pipe)
         m = pipe.meta
         svc = GenerationService(

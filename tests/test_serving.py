@@ -223,6 +223,54 @@ def test_aot_export_roundtrip(tmp_path):
     assert wavs.shape == live["wavs"].shape
 
 
+def test_artifact_dtype_cast_and_uint32_seed(tmp_path):
+    """Cross-dtype-policy artifact serving: the sidecar records the
+    per-leaf weight dtypes the artifact was traced with, and
+    ArtifactPipeline.from_file casts a live pipeline's trees to them — so
+    an artifact exported under one dtype policy (CPU f32,
+    serving.py build_pipeline) serves from a pipeline built under another
+    (TPU bf16).  Also: explicit seeds are masked to uint32 in
+    GenerationService so live and artifact serving agree for any seed."""
+    from melspec_gpt_vqvae_tpu import export as aot
+
+    pipe = _tiny_service(batch=2).pipe  # f32 trees
+    ex = aot.export_serving(pipe, 2, temperature=0.9, top_k=8)
+    path = str(tmp_path / "p.stablehlo")
+    aot.save_exported(ex, path, {"batch": 2, "temperature": 0.9,
+                                 "top_k": 8, "top_p": None, "sample": True,
+                                 "weight_dtypes": aot.tree_dtypes(pipe)})
+    # a "TPU-policy" pipeline over the same weights: conv trees in bf16
+    bpipe = GenerationPipeline(pipe.exp, pipe.gpt_params, pipe.vq_params,
+                               pipe.voc_params, segments=2, chunk=0,
+                               bf16=True)
+    import jax.numpy as jnp
+    assert all(a.dtype == jnp.bfloat16
+               for a in jax.tree_util.tree_leaves(bpipe.vq_params))
+    apipe = aot.ArtifactPipeline.from_file(path, bpipe)
+    # trees were cast back to the exported f32 avals -> the call works
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree_util.tree_leaves(apipe.vq_params))
+    svc = GenerationService(pipe.exp, apipe, batch=2, seed=7,
+                            temperature=0.9, top_k=8, top_p=None)
+    live = pipe.generate(np.asarray([1, 2]), jax.random.PRNGKey(11),
+                         temperature=0.9, top_k=8)
+    a = svc.generate([1, 2], seed=11)
+    np.testing.assert_array_equal(a["tokens"], live["tokens"])
+    # seeds >= 2**32 are masked, identically for live and artifact paths
+    b = svc.generate([1, 2], seed=(1 << 32) + 11)
+    np.testing.assert_array_equal(b["tokens"], live["tokens"])
+    lsvc = GenerationService(pipe.exp, pipe, batch=2, seed=7,
+                             temperature=0.9, top_k=8, top_p=None)
+    c = lsvc.generate([1, 2], seed=(1 << 32) + 11)
+    np.testing.assert_array_equal(c["tokens"], live["tokens"])
+    # leaf-count mismatch (wrong geometry) is rejected loudly
+    bad = dict(apipe.meta)
+    with pytest.raises(ValueError, match="leaves"):
+        aot._cast_tree({"a": np.zeros(1), "b": np.zeros(1)},
+                       ["float32"], "gpt")
+    del bad
+
+
 def test_aot_export_rejects_unexportable_pipelines():
     from melspec_gpt_vqvae_tpu import export as aot
     from melspec_gpt_vqvae_tpu.configs import GPTConfig
