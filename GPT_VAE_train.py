@@ -39,6 +39,16 @@ def init_config():
                              "fits GPT-XL-scale VAEs on one chip")
     parser.add_argument("--lr", type=float, default=None,
                         help="default: preset learning rate")
+    parser.add_argument("--lr_decay", type=float, default=0.0,
+                        help="val-plateau LR decay factor, e.g. 0.5 "
+                             "(0 = off; the reference's commented-out "
+                             "machinery, GPT_VAE_callbacks.py:456-515)")
+    parser.add_argument("--lr_decay_patience", type=int, default=5,
+                        help="stale val epochs before decaying "
+                             "(reference decay_epoch)")
+    parser.add_argument("--lr_decay_start", type=int, default=15,
+                        help="no decay before this epoch (reference "
+                             "current_epoch >= 15 gate)")
     parser.add_argument("--nsamples", type=int, default=1)
     parser.add_argument("--iw_train_nsamples", type=int, default=-1)
     parser.add_argument("--iw_train_ns", type=int, default=1)
@@ -166,6 +176,11 @@ def main(args):
                                         momentum=args.momentum)
     if args.lr is not None:
         exp.train = dataclasses.replace(exp.train, learning_rate=args.lr)
+    if args.lr_decay:
+        exp.train = dataclasses.replace(
+            exp.train, lr_decay=args.lr_decay,
+            lr_decay_patience=args.lr_decay_patience,
+            lr_decay_start=args.lr_decay_start)
     if args.param_dtype != "float32":
         exp.model = exp.model.replace(dtype=args.param_dtype)
     print(f"devices: {jax.devices()}")
@@ -220,7 +235,8 @@ def main(args):
                                             "encoder")
             # persist the warm start by saving as a resumable 'last'
             ckpt.save({"state": state, "epoch": -1,
-                       "extras": {"best_loss": 1e4, "pre_mi": 0.0}}, 0)
+                       "extras": {"best_loss": 1e4, "pre_mi": 0.0,
+                                  "not_improved": 0}}, 0)
             args.resume = "last"
         runner.fit_vae(task, dm, epochs=exp.train.epochs, log=log,
                        ckpt=ckpt, seed=args.seed,
@@ -249,7 +265,8 @@ def main(args):
             place_like, shape_template)
         state = task.init_state(args.seed)
         template = {"state": shape_template(state),
-                    "epoch": 0, "extras": {"best_loss": 1e4, "pre_mi": 0.0}}
+                    "epoch": 0, "extras": {"best_loss": 1e4, "pre_mi": 0.0,
+                                           "not_improved": 0}}
         return place_like(ckpt.restore(which, template=template)["state"],
                           state)
 
@@ -328,6 +345,11 @@ def run_lstm(args):
                                         momentum=args.momentum)
     if args.lr is not None:
         exp.train = dataclasses.replace(exp.train, learning_rate=args.lr)
+    if args.lr_decay:
+        exp.train = dataclasses.replace(
+            exp.train, lr_decay=args.lr_decay,
+            lr_decay_patience=args.lr_decay_patience,
+            lr_decay_start=args.lr_decay_start)
 
     mesh = make_mesh(parse_mesh(args.mesh))
     dm = DataModule(batch_size=exp.train.batch_size,

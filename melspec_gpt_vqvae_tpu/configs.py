@@ -215,6 +215,13 @@ class TrainConfig:
     seed: int = 783435
     logging_frequency: int = 200
     log_dir: str = "lightning_logs"
+    # Val-plateau LR decay (opt-in): the reference's commented-out
+    # machinery in callbeck_of_my_dreams (GPT_VAE_callbacks.py:456-515:
+    # decay_epoch=5, lr_decay=0.5, epoch >= 15 gate).  0.0 = off (the
+    # reference ships with it disabled).
+    lr_decay: float = 0.0          # multiply LR by this on plateau
+    lr_decay_patience: int = 5     # stale val epochs before decaying
+    lr_decay_start: int = 15       # no decay before this epoch
     # TPU-native distribution (replaces Lightning DDP devices/num_nodes):
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8} / {"data": 4, "model": 2}
 

@@ -85,6 +85,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_stragglers(mesh: Mesh, tree):
+    """Replicate over the mesh any leaf still on a SINGLE device.
+
+    ``optimizer.init`` on a mesh-placed param tree inherits the params'
+    shardings for moment leaves (computation follows data), but brand-new
+    scalars (step counts, inject_hyperparams' learning_rate) materialise
+    on the default device only.  That mixture is tolerated while the
+    arrays are uncommitted — but a checkpoint restore ``place_like``s
+    every leaf with the template's sharding, COMMITTING the mixture, and
+    the first post-resume jitted step then fails on incompatible devices
+    (caught by tests/test_runner.py::test_resume_continuation_*).  Leaves
+    already spanning the mesh (replicated or TP/PP-sharded) pass through
+    untouched — re-placing them would gather shards."""
+    if mesh.size <= 1:
+        return tree
+    rep = replicated(mesh)
+
+    def put(a):
+        try:
+            if len(a.sharding.device_set) == 1:
+                return jax.device_put(a, rep)
+        except AttributeError:
+            pass
+        return a
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard axis 0 (batch) over ``data``; replicate the rest.  On a mesh
     without a ``data`` axis (e.g. ``--mesh pipe=4``) the batch replicates —

@@ -59,11 +59,6 @@ class GenerationPipeline:
         self.gcfg = exp.model
         self.vcfg = exp.vqvae
         self.mesh = mesh
-        if draft_params is not None and mesh is not None:
-            raise NotImplementedError(
-                "speculative decoding is a single-device latency feature; "
-                "use --mesh OR a draft, not both")
-        self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -84,10 +79,20 @@ class GenerationPipeline:
                                         shard_gpt_params)
             if MODEL_AXIS in mesh.shape:
                 gpt_params = shard_gpt_params(mesh, gpt_params)
+                if draft_params is not None:
+                    # the draft composes with TP like the target: Megatron
+                    # pspecs on its blocks, GSPMD propagates the head
+                    # sharding into its KV cache (parity pinned by
+                    # tests/test_speculative.py::test_speculative_tp_*)
+                    draft_params = shard_gpt_params(mesh, draft_params)
             else:
                 gpt_params = jax.device_put(gpt_params, replicated(mesh))
+                if draft_params is not None:
+                    draft_params = jax.device_put(draft_params,
+                                                  replicated(mesh))
             vq_params = jax.device_put(vq_params, replicated(mesh))
             voc_params = jax.device_put(voc_params, replicated(mesh))
+        self.draft_params = draft_params
         self.gpt_params = gpt_params
         self.vq_params = vq_params
         self.voc_params = voc_params

@@ -81,6 +81,61 @@ class FrozenDecoders:
         return np.asarray(self._voc_apply(mel_tc))[0]
 
 
+def find_raw_audio(spec_path: str, sample_rate: int = 22050
+                   ) -> Optional[np.ndarray]:
+    """Raw source audio for a spec file, or None.
+
+    The reference TextLogger tries the raw ``.mp4`` from disk before
+    falling back to vocoding the spec
+    (/root/reference/callbacks/GPT_VAE_callbacks.py:140-157:
+    ``../AV_Datasets/VAS/<label>/videos/<vid>.mp4`` via librosa).  The
+    feature downloads don't ship raw videos, so the practical sources
+    here are (in order):
+      1. ``<cls>/audio_10s_22050hz/<vid>.wav`` — the extracted-audio tree
+         the mel frontend reads from (stdlib wave, no librosa);
+      2. ``<cls>/videos/<vid>.mp4`` — decoded through ffmpeg when the
+         binary exists (demo_utils.extract_audio_from_video), silently
+         skipped otherwise (this image has no ffmpeg).
+    """
+    import os
+    base = os.path.basename(spec_path)
+    vid = base[:-len("_mel.npy")] if base.endswith("_mel.npy") \
+        else os.path.splitext(base)[0]
+    cls_dir = os.path.dirname(os.path.dirname(os.path.abspath(spec_path)))
+
+    def _read_wav(path):
+        import wave as _wave
+        with _wave.open(path, "rb") as w:
+            if w.getframerate() != sample_rate:
+                return None   # reference resamples via librosa; we skip
+            raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            if w.getnchannels() > 1:
+                raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+            return raw.astype(np.float32) / 32768.0
+
+    wav_path = os.path.join(cls_dir, "audio_10s_22050hz", f"{vid}.wav")
+    if os.path.isfile(wav_path):
+        try:
+            return _read_wav(wav_path)
+        except (OSError, ValueError, EOFError):
+            pass   # damaged file: fall through (reference swallows too)
+    mp4_path = os.path.join(cls_dir, "videos", f"{vid}.mp4")
+    if os.path.isfile(mp4_path):
+        try:
+            import tempfile
+
+            from feature_extraction.demo_utils import (
+                extract_audio_from_video, which_ffmpeg)
+            if which_ffmpeg():
+                with tempfile.TemporaryDirectory() as td:
+                    out = os.path.join(td, "a.wav")
+                    extract_audio_from_video(mp4_path, out, sample_rate)
+                    return _read_wav(out)
+        except (OSError, ValueError, RuntimeError, ImportError):
+            pass
+    return None
+
+
 class GPTImageLogger:
     def __init__(self, task, log: TBLogger, decoders: FrozenDecoders,
                  sample_rate: int = 22050, max_images: int = 1,
@@ -161,7 +216,14 @@ class VAETextLogger:
         if "image" in batch:
             inp = np.asarray(batch["image"][0])
             self.log.spectrogram(f"{split}/original_spec", inp, step)
-            audio = self.dec.spec_to_audio(inp)
+            # raw source audio first, vocoded spec as the fallback
+            # (reference: GPT_VAE_callbacks.py:140-157)
+            audio = None
+            paths = batch.get("file_path_")
+            if paths is not None and len(paths):
+                audio = find_raw_audio(str(paths[0]), self.sample_rate)
+            if audio is None:
+                audio = self.dec.spec_to_audio(inp)
             if audio is not None:
                 self.log.audio(f"{split}/original_audio", audio, step,
                                self.sample_rate)

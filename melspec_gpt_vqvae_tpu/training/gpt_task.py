@@ -142,9 +142,13 @@ class GPTTask:
             params = shard_gpt_params(self.mesh, params)
         else:
             params = jax.device_put(params, replicated(self.mesh))
-        return {"params": params,
-                "opt_state": self.optimizer.init(params),
-                "step": jnp.zeros((), jnp.int32)}
+        from ..parallel.mesh import replicate_stragglers
+        # scalar leaves (opt count, live LR, step) must span the mesh like
+        # everything else or a committed restore breaks (see mesh.py)
+        return replicate_stragglers(self.mesh, {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32)})
 
     def _shard_batch(self, batch: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = tokens_from_batch(jnp.asarray(batch["codes"]))

@@ -115,10 +115,13 @@ class LSTMVAETask:
     def init_state(self, seed: int = 783435) -> TrainState:
         params = L.init_lstm_vae(jax.random.PRNGKey(seed), self.cfg)
         params = jax.device_put(params, replicated(self.mesh))
-        return {"params": params,
-                "opt_state": self.optimizer.init(params),
-                "step": jnp.zeros((), jnp.int32),
-                "kl_weight": jnp.asarray(self.exp.vae.kl_start, jnp.float32)}
+        from ..parallel.mesh import replicate_stragglers
+        # scalar leaves must span the mesh (see mesh.replicate_stragglers)
+        return replicate_stragglers(self.mesh, {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+            "kl_weight": jnp.asarray(self.exp.vae.kl_start, jnp.float32)})
 
     def _tokens(self, batch: Dict) -> jnp.ndarray:
         return lstm_tokens_from_batch(batch["codes"], self.cfg.bos_id,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -40,14 +41,43 @@ def decay_mask(params) -> Any:
 def gpt_adamw(learning_rate: float, weight_decay: float = 0.01,
               betas=(0.9, 0.95), grad_clip: float | None = None
               ) -> optax.GradientTransformation:
-    """AdamW with the minGPT decay partition."""
-    txs = []
-    if grad_clip:
-        txs.append(optax.clip_by_global_norm(grad_clip))
-    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
-    txs.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
-    txs.append(optax.scale(-learning_rate))
-    return optax.chain(*txs)
+    """AdamW with the minGPT decay partition.
+
+    Wrapped in ``optax.inject_hyperparams`` so the learning rate LIVES in
+    the optimizer state: the runner logs the actual value (the reference
+    attaches a ``LearningRateMonitor`` reading the optimizer,
+    /root/reference/GPT_train.py:92) and the val-plateau decay hook
+    (runner.fit_vae; reference machinery at
+    callbacks/GPT_VAE_callbacks.py:456-515) can change it mid-run — and it
+    round-trips through checkpoints with the rest of the opt state (the
+    reference's get_lr/set_lr, Lit_GPT_VAE.py:949-953)."""
+    def build(learning_rate):
+        txs = []
+        if grad_clip:
+            txs.append(optax.clip_by_global_norm(grad_clip))
+        txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+        txs.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
+        txs.append(optax.scale(-learning_rate))
+        return optax.chain(*txs)
+
+    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
+
+
+def get_lr(opt_state) -> jax.Array:
+    """The live learning rate from an inject_hyperparams opt state (raises
+    AttributeError/KeyError for bespoke optimizers without one, e.g. the
+    VQ-VAE's two plain Adams — callers fall back to the config constant)."""
+    return opt_state.hyperparams["learning_rate"]
+
+
+def with_lr(opt_state, lr):
+    """Functionally replace the live learning rate (the reference's
+    ``set_lr``, Lit_GPT_VAE.py:949-953).  Pass a device scalar derived
+    from ``get_lr`` (e.g. ``get_lr(s) * 0.5``) to keep placement/sharding."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(
+        lr, jnp.asarray(hp["learning_rate"]).dtype)
+    return opt_state._replace(hyperparams=hp)
 
 
 def gpt_adafactor(learning_rate: float) -> optax.GradientTransformation:
@@ -68,19 +98,25 @@ def make_optimizer(name: str, learning_rate: float,
     — the reference comments it out (GPT_VAE_train.py:25,176: clip_grad
     5.0) but SGD at lr 1.0 on the LSTM VAE diverges without it (measured:
     NaN within 2 steps on TPU), so the LSTM preset turns it on."""
-    if name == "adafactor":
-        tx = gpt_adafactor(learning_rate)
-    elif name == "adamw":
-        tx = gpt_adamw(learning_rate, weight_decay, betas)
-    elif name == "sgd":
-        tx = optax.sgd(learning_rate, momentum=momentum or None)
-    elif name == "adam":
-        tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1])
-    else:
+    if name == "adamw":
+        return gpt_adamw(learning_rate, weight_decay, betas, grad_clip)
+    if name not in ("adafactor", "sgd", "adam"):
         raise ValueError(f"unknown optimizer {name!r}")
-    if grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
-    return tx
+
+    # same live-LR contract as gpt_adamw (inject_hyperparams): get_lr /
+    # with_lr work uniformly across every task's optimizer state
+    def build(learning_rate):
+        if name == "adafactor":
+            tx = optax.adafactor(learning_rate)
+        elif name == "sgd":
+            tx = optax.sgd(learning_rate, momentum=momentum or None)
+        else:
+            tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1])
+        if grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
+
+    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
 
 
 def vqvae_adam(learning_rate: float) -> optax.GradientTransformation:

@@ -35,6 +35,18 @@ def _host(x):
     return float(jax.device_get(x))
 
 
+def _live_lr(task, state) -> float:
+    """The optimizer's ACTUAL learning rate (the reference attaches a
+    LearningRateMonitor reading the optimizer, GPT_train.py:92) from the
+    inject_hyperparams opt state; bespoke optimizer states without one
+    (the VQ-VAE's two plain Adams) fall back to the config constant."""
+    try:
+        from .optim import get_lr
+        return _host(get_lr(state["opt_state"]))
+    except (AttributeError, KeyError, TypeError):
+        return task.exp.train.learning_rate
+
+
 def _global_mean(local_sum: float, local_count: float) -> float:
     """Mean over all processes' (sum, count) pairs."""
     r = cross_process_sum({"sum": local_sum, "count": local_count})
@@ -86,12 +98,18 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
+        # step RNG is a pure function of (seed, epoch, i) — NOT a stream
+        # split sequentially from fit-start — so an interrupted run resumed
+        # at epoch N sees the exact dropout keys the uninterrupted run saw
+        # (resume-continuation equivalence, pinned by
+        # tests/test_training.py::test_resume_continuation_equivalence_gpt)
+        epoch_rng = jax.random.fold_in(rng, epoch)
         t0 = time.time()
         losses = []
         for i, batch in enumerate(train_loader):
             if limit_train_batches and i >= limit_train_batches:
                 break
-            rng, step_rng = jax.random.split(rng)
+            step_rng = jax.random.fold_in(epoch_rng, i)
             state, loss = task.train_step(state, batch, step_rng)
             losses.append(loss)
             step += 1
@@ -100,8 +118,7 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
                 log.scalars(perf, step)
             if i % 50 == 0:
                 log.scalar("train/loss_step", loss, step)
-                log.scalar("learning_rate", task.exp.train.learning_rate,
-                           step)
+                log.scalar("learning_rate", _live_lr(task, state), step)
             if media_cb and logging_frequency and \
                     (i % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
@@ -174,7 +191,8 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
     (reference on_save_checkpoint: Lit_GPT_VAE.py:959-964)."""
     state = task.init_state(seed)
     start_epoch = 0
-    extras: Dict[str, Any] = {"best_loss": 1e4, "pre_mi": 0.0}
+    extras: Dict[str, Any] = {"best_loss": 1e4, "pre_mi": 0.0,
+                              "not_improved": 0}
     if resume:
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
@@ -194,11 +212,14 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
+        # resume-invariant step keys: pure function of (seed, epoch, i),
+        # see fit_gpt
+        epoch_rng = jax.random.fold_in(rng, epoch)
         t0 = time.time()
         for i, batch in enumerate(train_loader):
             if limit_train_batches and i >= limit_train_batches:
                 break
-            rng, step_rng = jax.random.split(rng)
+            step_rng = jax.random.fold_in(epoch_rng, i)
             state, loss, report = task.train_step(state, batch, step_rng,
                                                   epoch=epoch)
             step += 1
@@ -237,8 +258,34 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
                   " ".join(f"val/{k} {v:.4f}" for k, v in agg.items()) +
                   f" kl_w {_host(state['kl_weight']):.4f}"
                   f" ({time.time() - t0:.1f}s)")
-        if agg and agg["loss"] < extras["best_loss"]:
-            extras["best_loss"] = agg["loss"]
+        if agg:
+            # best-loss / plateau bookkeeping mirrors the reference's
+            # callbeck_of_my_dreams (GPT_VAE_callbacks.py:449-515): a
+            # non-improving epoch bumps not_improved; an improving one
+            # resets it and takes the new best.  The LR decay itself is
+            # the reference's commented-out machinery (lr *= lr_decay
+            # after lr_decay_patience stale epochs, gated on
+            # epoch >= lr_decay_start), opt-in via train.lr_decay > 0.
+            tr = task.exp.train
+            if agg["loss"] > extras["best_loss"]:
+                extras["not_improved"] = extras.get("not_improved", 0) + 1
+                if (getattr(tr, "lr_decay", 0.0)
+                        and extras["not_improved"] >= tr.lr_decay_patience
+                        and epoch >= tr.lr_decay_start):
+                    from .optim import get_lr, with_lr
+                    new_lr = get_lr(state["opt_state"]) * tr.lr_decay
+                    state = dict(state,
+                                 opt_state=with_lr(state["opt_state"],
+                                                   new_lr))
+                    extras["not_improved"] = 0
+                    if is_primary():
+                        print(f"epoch {epoch}: val loss plateaued "
+                              f"{tr.lr_decay_patience} epochs -> "
+                              f"lr {_host(new_lr):.3e}")
+            else:
+                extras["not_improved"] = 0
+                extras["best_loss"] = agg["loss"]
+            log.scalar("learning_rate", _live_lr(task, state), step)
         if _should_save(epoch, epochs, ckpt_every):
             ckpt.save({"state": state, "epoch": epoch, "extras": extras},
                       step, metric=agg.get("loss"))
@@ -267,7 +314,8 @@ def evaluate_vae(task, dm, *, split: str = "val",
     if resume and ckpt:
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
-            "epoch": 0, "extras": {"best_loss": 0.0, "pre_mi": 0.0}})
+            "epoch": 0, "extras": {"best_loss": 0.0, "pre_mi": 0.0,
+                                   "not_improved": 0}})
         state = place_like(restored["state"], state)
     loader = dm.test_dataloader() if split == "test" else dm.val_dataloader()
     rng = jax.random.PRNGKey(0)

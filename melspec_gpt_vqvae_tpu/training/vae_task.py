@@ -135,10 +135,14 @@ class VAETask:
             params = shard_gpt_params(self.mesh, params)
         else:
             params = jax.device_put(params, replicated(self.mesh))
-        return {"params": params,
-                "opt_state": self.optimizer.init(params),
-                "step": jnp.zeros((), jnp.int32),
-                "kl_weight": jnp.asarray(self.exp.vae.kl_start, jnp.float32)}
+        from ..parallel.mesh import replicate_stragglers
+        # scalar leaves (opt count, live LR, step, kl_weight) must span the
+        # mesh like everything else or a committed restore breaks (mesh.py)
+        return replicate_stragglers(self.mesh, {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+            "kl_weight": jnp.asarray(self.exp.vae.kl_start, jnp.float32)})
 
     def _shard(self, batch: Dict) -> jnp.ndarray:
         x = tokens_from_batch(jnp.asarray(batch["codes"]))

@@ -136,6 +136,76 @@ def test_speculative_preserves_target_distribution():
             f"pos {pos}: {ho} vs {hr}"
 
 
+@pytest.mark.parametrize("cache_dtype", ["auto", "int8"])
+def test_speculative_tp_sharded_matches_single_device(cache_dtype):
+    """Speculative decoding composes with the Megatron-TP serving mesh:
+    target AND draft params sharded over the model axis (GSPMD propagates
+    the head sharding into both KV caches), greedy tokens bit-equal to
+    the unsharded run — closing the round-3 scope gap where
+    GenerationPipeline refused draft+mesh.  (Segments remain deliberately
+    out of the speculative path: segmentation bounds KV working set in the
+    B>=128 throughput regime, while speculative decoding is the B<=32
+    latency feature whose whole cache is a few MB/clip — see
+    BENCH_NOTES.md 'speculative x mesh/segments'.)"""
+    from melspec_gpt_vqvae_tpu.parallel.mesh import (batch_sharding,
+                                                     make_mesh,
+                                                     shard_gpt_params)
+    cfg = CFG.replace(n_head=4, n_embd=32, cache_dtype=cache_dtype,
+                      decode_weight_dtype="int8" if cache_dtype == "int8"
+                      else "auto")
+    dcfg = DRAFT.replace(n_head=4, n_embd=32, cache_dtype=cfg.cache_dtype,
+                         decode_weight_dtype=cfg.decode_weight_dtype)
+    params = G.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    d_params = G.init_gpt_params(jax.random.PRNGKey(7), dcfg)
+    c = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3], jnp.int32)
+    cond = G.class_embed(params, c)
+    d_cond = G.class_embed(d_params, c)
+
+    ref, ref_stats = gpt_speculative_generate(
+        params, cfg, d_params, dcfg, jax.random.PRNGKey(3), cond, d_cond,
+        steps=8, gamma=3, sample=False)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sp = shard_gpt_params(mesh, params)
+    sd = shard_gpt_params(mesh, d_params)
+    cond_s = jax.device_put(cond, batch_sharding(mesh, 3))
+    d_cond_s = jax.device_put(d_cond, batch_sharding(mesh, 3))
+    out, stats = gpt_speculative_generate(
+        sp, cfg, sd, dcfg, jax.random.PRNGKey(3), cond_s, d_cond_s,
+        steps=8, gamma=3, sample=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert int(stats["rounds"]) == int(ref_stats["rounds"])
+    assert int(stats["accepted"]) == int(ref_stats["accepted"])
+
+
+def test_pipeline_speculative_mesh_wiring():
+    """GenerationPipeline accepts draft + mesh together now; greedy clips
+    match the meshless speculative pipeline."""
+    from melspec_gpt_vqvae_tpu.parallel.mesh import make_mesh
+    from melspec_gpt_vqvae_tpu.pipeline import GenerationPipeline
+    from tests.test_serving import _tiny_service
+    svc = _tiny_service(batch=4)
+    pipe = svc.pipe
+    dcfg = DRAFT.replace(vocab_size=pipe.gcfg.vocab_size,
+                         block_size=pipe.gcfg.block_size,
+                         n_embd=pipe.gcfg.n_embd,
+                         class_size=pipe.gcfg.class_size)
+    draft_params = G.init_gpt_params(jax.random.PRNGKey(42), dcfg)
+    kw = dict(segments=2, chunk=0, bf16=False,
+              draft_params=draft_params, draft_cfg=dcfg, gamma=3)
+    ref_pipe = GenerationPipeline(pipe.exp, pipe.gpt_params, pipe.vq_params,
+                                  pipe.voc_params, **kw)
+    mesh_pipe = GenerationPipeline(pipe.exp, pipe.gpt_params,
+                                   pipe.vq_params, pipe.voc_params,
+                                   mesh=make_mesh({"data": 2, "model": 2}),
+                                   **kw)
+    cls = np.asarray([0, 1, 2, 3], np.int32)
+    ref = ref_pipe.generate(cls, jax.random.PRNGKey(5), sample=False)
+    out = mesh_pipe.generate(cls, jax.random.PRNGKey(5), sample=False)
+    np.testing.assert_array_equal(ref["tokens"], out["tokens"])
+    assert out["spec_stats"]["rounds"] >= 1
+
+
 def test_pipeline_speculative_greedy_matches_plain():
     """GenerationPipeline(draft=...) with greedy decode must produce the
     exact clips of the plain pipeline (serving-layer wiring check)."""
