@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,6 +149,9 @@ def main():
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--mixed", action="store_true")
     ap.add_argument("--param_dtype", default="float32")
+    ap.add_argument("--opt", default="",
+                    help="override the preset optimizer (e.g. adafactor: "
+                         "required to fit the 2.09B XL on one 16GB chip)")
     ap.add_argument("--prng", default="rbg", choices=["rbg", "threefry"])
     ap.add_argument("--variants", action="store_true",
                     help="run the remat/dtype ablation grid")
@@ -159,11 +164,12 @@ def main():
     if args.prng == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
 
-    import dataclasses
-
     from melspec_gpt_vqvae_tpu.configs import load_preset
     exp = load_preset("GPT_VAE" if args.model == "vae" else "GPT",
                       args.dataset)
+    if args.opt:
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, optimizer=args.opt))
     size_kw = {k: getattr(args, k) for k in ("n_layer", "n_embd", "n_head")
                if getattr(args, k)}
     bs = args.bs or exp.train.batch_size
