@@ -61,7 +61,10 @@ def capture(logdir, model, bs, steps, policy):
         x = task._shard({"codes": rng0.integers(
             0, exp.model.vocab_size, (bs, 5, 53)).astype(np.int32)})
         freeze = jnp.asarray(False)
-        step = jax.jit(lambda s, r: task._train_step_fn(s, x, r, freeze)[0])
+        # donate the carried state: without donation params + moments
+        # exist twice across the call boundary (OOM at VAS scale)
+        step = jax.jit(lambda s, r: task._train_step_fn(s, x, r, freeze)[0],
+                       donate_argnums=0)
     else:
         from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
         task = GPTTask(exp)
@@ -70,7 +73,8 @@ def capture(logdir, model, bs, steps, policy):
                         jnp.int32)
         c = jnp.asarray(rng0.integers(0, exp.model.class_size, (bs,)),
                         jnp.int32)
-        step = jax.jit(lambda s, r: task._train_step_fn(s, x, c, r)[0])
+        step = jax.jit(lambda s, r: task._train_step_fn(s, x, c, r)[0],
+                       donate_argnums=0)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -112,6 +116,7 @@ def parse_xplanes(logdir):
 
     by_cat = collections.Counter()          # category -> ps (XLA Ops line)
     by_op = collections.Counter()           # (category, op) -> ps
+    by_while = collections.Counter()         # container loops (lax.scan)
     device_planes = 0
     module_ps = 0                            # "XLA Modules" line envelope
     async_ps = 0                             # overlapped DMA copies
@@ -166,6 +171,13 @@ def parse_xplanes(logdir):
                                "rng-bit-generator": "rng"}.get(
                                    opcode, opcode)
                     d = ev.duration_ps
+                    if cat == "while" or opcode == "while":
+                        # a lax.scan/while is a CONTAINER: its body ops
+                        # appear as their own events on the same line, so
+                        # counting it as a category double-counts — keep
+                        # it as the per-subgraph (enc/dec fwd/bwd) view
+                        by_while[nm] += d
+                        continue
                     by_cat[cat] += d
                     by_op[(cat, nm)] += d
             if saw_ops:
@@ -177,7 +189,7 @@ def parse_xplanes(logdir):
             "trace has NO device XLA-Ops lines — the remote backend did "
             "not export a device timeline; attribution must stay "
             "measurement-free (record this as an environment limit)")
-    return by_cat, by_op, total_ps, busy_ps, async_ps, device_planes
+    return (by_cat, by_op, by_while, total_ps, busy_ps, async_ps, device_planes)
 
 
 def main():
@@ -200,7 +212,8 @@ def main():
     os.makedirs(args.logdir, exist_ok=True)
     wall, steps, _, bs = capture(args.logdir, args.model, args.bs,
                                  args.steps, policy)
-    by_cat, by_op, total_ps, busy_ps, async_ps, planes = parse_xplanes(args.logdir)
+    (by_cat, by_op, by_while, total_ps, busy_ps, async_ps,
+     planes) = parse_xplanes(args.logdir)
 
     step_ms_device = busy_ps / 1e9 / steps
     rows = []
@@ -220,6 +233,8 @@ def main():
            "async_copy_ms_per_step": round(
                async_ps / 1e9 / steps, 2),
            "device_planes": planes,
+           "scan_loops_ms": {k: round(v / 1e9 / steps, 1)
+                             for k, v in by_while.most_common(8)},
            "categories": rows, "top_ops": top_ops}
     with open(os.path.join(_ROOT, "TRAIN_PROFILE.json"), "w") as f:
         json.dump(out, f, indent=1)
