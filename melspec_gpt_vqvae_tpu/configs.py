@@ -296,11 +296,15 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
         last_linear=None,
         remat=True,
         # TPU perf: same attn-remat + mixed-precision policy as the VAS
-        # VAE preset (where it measured 529 -> 497 ms/step at bs 24);
-        # the XL itself was not re-measured under this preset — on one
-        # 16 GB chip it only trains with --opt adafactor --param_dtype
-        # bfloat16 (3.53 s/step, BENCH_NOTES.md "GPT-XL"), and multi-chip
-        # it runs over the pipe axis (scripts/xl_train_project.py).
+        # VAE preset (where it measured 529 -> 497 ms/step at bs 24).
+        # Round-4 A/B at XL geometry (bench_train --dataset vggsound
+        # --opt adafactor --param_dtype bfloat16, scan harness): 107.7 ms
+        # (attn+mixed) vs 106.9 ms (full, no mixed) per step at bs 1 — a
+        # WASH (bf16 params already make every matmul bf16, and at bs 1
+        # remat replay is small), so the policy ships for consistency
+        # with the measured VAS win, not on extrapolation.  On one 16 GB
+        # chip the XL trains only with adafactor + bf16 params; multi-
+        # chip it runs over the pipe axis (scripts/xl_train_project.py).
         remat_policy="attn",
         mixed_precision=True,
     ),
