@@ -177,12 +177,20 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
     return exp, pipe, mesh
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised when the bounded request queue is full — the HTTP layer
+    maps it to 503 + Retry-After (load shedding beats unbounded queueing:
+    one chip serializes generation, so past ``max_queue`` waiters every
+    extra request only inflates tail latency for everyone)."""
+
+
 class GenerationService:
     """Thread-safe, fixed-batch wrapper around a GenerationPipeline."""
 
     def __init__(self, exp, pipe, mesh=None, *, batch: int = 8,
                  seed: int = 783435, temperature: float = 1.0,
-                 top_k: Optional[int] = 100, top_p: Optional[float] = None):
+                 top_k: Optional[int] = 100, top_p: Optional[float] = None,
+                 max_queue: int = 16):
         import jax
         self.exp = exp
         self.pipe = pipe
@@ -199,6 +207,10 @@ class GenerationService:
         self._key = jax.random.PRNGKey(seed)
         self.started = time.time()
         self.requests = 0
+        self.shed = 0                      # requests rejected at the bound
+        self.max_queue = max(1, int(max_queue))
+        self._pending = 0                  # in-flight + queued generates
+        self._pending_lock = threading.Lock()
 
     def generate(self, classes, *, temperature=None, top_k=None,
                  top_p=None, sample: bool = True,
@@ -219,6 +231,21 @@ class GenerationService:
         k = self.defaults["top_k"] if top_k is None else (int(top_k) or None)
         p = self.defaults["top_p"] if top_p is None else float(top_p)
         p = p if (p and 0.0 < p < 1.0) else None
+        # admission control BEFORE queueing on the generation lock
+        with self._pending_lock:
+            if self._pending >= self.max_queue:
+                self.shed += 1
+                raise ServiceOverloaded(
+                    f"request queue full ({self.max_queue} in flight); "
+                    "retry later")
+            self._pending += 1
+        try:
+            return self._generate_locked(cs, t, k, p, sample, seed)
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
+
+    def _generate_locked(self, cs, t, k, p, sample, seed):
         wavs, toks, specs = [], [], []
         agg = {"rounds": 0, "drafted": 0, "accepted": 0}
         with self._lock:
@@ -297,7 +324,9 @@ class _Handler(BaseHTTPRequestHandler):
                           "class_size": svc.exp.model.class_size},
                 "batch": svc.batch,
                 "uptime_s": round(time.time() - svc.started, 1),
-                "requests": svc.requests})
+                "requests": svc.requests,
+                "queue": {"pending": svc._pending,
+                          "max": svc.max_queue, "shed": svc.shed}})
         if url.path == "/generate":
             params = {k: v[-1] for k, v in parse_qs(url.query).items()}
             if "classes" in params:
@@ -343,6 +372,17 @@ class _Handler(BaseHTTPRequestHandler):
                 top_p=params.get("top_p"),
                 sample=not det,
                 seed=params.get("seed"))
+        except ServiceOverloaded as e:
+            # shed load instead of queueing without bound (one chip);
+            # clients should back off and retry
+            self.send_response(503)
+            self.send_header("Retry-After", "2")
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         except (ValueError, TypeError) as e:
             return self._json(400, {"error": str(e)})
         sr = svc.exp.data.sample_rate

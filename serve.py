@@ -71,6 +71,9 @@ def parse_args():
                         "(scripts/export_serving.py): no retracing; the "
                         "batch + sampling knobs come from its sidecar and "
                         "differing requests get a 400")
+    p.add_argument("--max_queue", type=int, default=16,
+                   help="bounded request queue: requests beyond this many "
+                        "in flight get 503 + Retry-After (load shedding)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no_warmup", action="store_true",
@@ -118,7 +121,7 @@ def main():
         svc = GenerationService(
             exp, pipe, None, batch=pipe.batch, seed=args.seed,
             temperature=m["temperature"], top_k=m["top_k"],
-            top_p=m["top_p"])
+            top_p=m["top_p"], max_queue=args.max_queue)
         print(f"artifact: {args.artifact} (batch {pipe.batch}, "
               f"temperature {m['temperature']}, top_k {m['top_k']}, "
               f"top_p {m['top_p']}, sample {m['sample']})")
@@ -126,7 +129,8 @@ def main():
         svc = GenerationService(
             exp, pipe, mesh, batch=args.batch, seed=args.seed,
             temperature=args.temperature, top_k=args.top_k,
-            top_p=args.top_p if 0.0 < args.top_p < 1.0 else None)
+            top_p=args.top_p if 0.0 < args.top_p < 1.0 else None,
+            max_queue=args.max_queue)
     if not args.no_warmup:
         svc.warmup()
     httpd = serve(svc, args.host, args.port)

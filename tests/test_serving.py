@@ -194,6 +194,80 @@ def test_http_speculative_stats_surface():
         httpd.shutdown()
 
 
+def test_bounded_queue_sheds_load():
+    """Admission control: past max_queue in-flight generates, requests are
+    rejected with ServiceOverloaded (HTTP 503 + Retry-After) instead of
+    queueing without bound behind the one-chip generation lock."""
+    import time as _time
+
+    from melspec_gpt_vqvae_tpu.serving import ServiceOverloaded
+    svc = _tiny_service(batch=2)
+    svc.max_queue = 2
+    svc.generate([1], seed=1)   # compile before the race
+
+    release = threading.Event()
+    real = svc.pipe.generate
+
+    def slow(*a, **kw):
+        release.wait(10.0)
+        return real(*a, **kw)
+
+    svc.pipe.generate = slow
+    results = []
+
+    def client(i):
+        try:
+            svc.generate([i % 4], seed=i)
+            results.append("ok")
+        except ServiceOverloaded:
+            results.append("shed")
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    # wait until the admission counter has seen all 5 (accepted ones hold
+    # a pending slot until release)
+    for _ in range(100):
+        if len(results) >= 3:   # the 3 rejects return immediately
+            break
+        _time.sleep(0.05)
+    release.set()
+    for t in threads:
+        t.join()
+    svc.pipe.generate = real
+    assert sorted(results) == ["ok", "ok", "shed", "shed", "shed"]
+    assert svc.shed == 3
+    assert svc._pending == 0   # slots drained
+
+    # HTTP mapping: a saturated server answers 503 with Retry-After
+    svc2 = _tiny_service(batch=2)
+    svc2.max_queue = 1
+    svc2.generate([0], seed=1)
+    svc2.pipe.generate = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("should never run"))
+    with svc2._pending_lock:
+        svc2._pending = 1      # simulate a full queue
+    httpd = serve(svc2, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/generate?class=0")
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"]
+            assert "queue full" in json.loads(e.read())["error"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            q = json.loads(r.read())["queue"]
+        assert q["max"] == 1 and q["shed"] == 1
+    finally:
+        httpd.shutdown()
+
+
 def test_aot_export_roundtrip(tmp_path):
     """jax.export artifact: serialize -> fresh deserialize -> call gives
     the SAME tokens/specs/wavs as the live pipeline with the same seed
