@@ -45,6 +45,14 @@ def init_config():
                         help="checkpoint every N epochs (+ final); 0 = "
                              "final only, -1 = never — for slow-d2h "
                              "links (remote tunnel)")
+    parser.add_argument("--ckpt_every_steps", type=int, default=0,
+                        help="ALSO save 'last' every N train steps with "
+                             "its mid-epoch position; resume continues at "
+                             "the exact next batch (0 = off)")
+    parser.add_argument("--max_steps", type=int, default=0,
+                        help="stop (and checkpoint) after this many total "
+                             "optimizer steps, possibly mid-epoch "
+                             "(0 = no budget); Lightning Trainer parity")
     parser.add_argument("--prng", type=str, default="rbg",
                         choices=["rbg", "threefry"],
                         help="rbg = TPU hardware RNG: 4.3x faster VAE train "
@@ -143,7 +151,9 @@ def main(args):
                        media_cb=media_cb, resume=args.resume,
                        limit_train_batches=args.limit_train_batches or None,
                        limit_val_batches=args.limit_val_batches or None,
-                       ckpt_every=args.ckpt_every)
+                       ckpt_every=args.ckpt_every,
+                       ckpt_every_steps=args.ckpt_every_steps,
+                       max_steps=args.max_steps or None)
     if args.eval == 1:
         runner.validate_gpt(task, dm, ckpt=ckpt, resume=args.resume,
                             limit_val_batches=args.limit_val_batches or None)

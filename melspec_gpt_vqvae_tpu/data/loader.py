@@ -67,9 +67,19 @@ class DataLoader:
         # here - npy decode is numpy/C++ releasing the GIL).  1 = the
         # single prefetch thread (right for a 1-core dev host).
         self.num_workers = max(1, int(num_workers))
+        self.start_batch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def set_start_batch(self, b: int):
+        """Skip the first ``b`` batches of the NEXT iteration without
+        loading their data (mid-epoch resume: the runner replays an
+        interrupted epoch from the saved batch index; the epoch's batch
+        order is a pure function of (seed, epoch) so the skipped prefix is
+        exactly what the interrupted run consumed).  Sticky until changed —
+        the runner resets it to 0 for epochs after the resumed one."""
+        self.start_batch = max(0, int(b))
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -131,7 +141,7 @@ class DataLoader:
 
     def _batches(self) -> Iterator[Dict]:
         order = self._shard_order()
-        for b in range(len(self)):
+        for b in range(min(self.start_batch, len(self)), len(self)):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             if len(idxs) == 0:
                 return
@@ -192,13 +202,14 @@ class DataLoader:
         import concurrent.futures
         order = self._shard_order()
         nb = len(self)
+        b0 = min(self.start_batch, nb)
         window = self.prefetch + self.num_workers
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
             futures = {}
-            for b in range(min(window, nb)):
+            for b in range(b0, min(b0 + window, nb)):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 futures[b] = ex.submit(self._build_batch, idxs)
-            for b in range(nb):
+            for b in range(b0, nb):
                 batch = futures.pop(b).result()
                 nxt = b + window
                 if nxt < nb:

@@ -45,6 +45,7 @@ class CheckpointManager:
         self._pending: Optional[threading.Thread] = None
         self._meta_path = os.path.join(self.dirpath, "meta.json")
         self.meta = {"best_metric": None, "best_step": None, "last_step": None}
+        self.restored_batch_idx = -1   # set by restore(); -1 = end-of-epoch
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
@@ -61,7 +62,7 @@ class CheckpointManager:
             self._pending = None
 
     def save(self, state: Dict[str, Any], step: int,
-             metric: Optional[float] = None):
+             metric: Optional[float] = None, batch_idx: int = -1):
         """Always writes ``last``; snapshots ``best`` when ``metric``
         improves (mode=min, like the reference's monitor).  ``state`` may
         hold live jax arrays; they are safe to donate once this returns
@@ -89,6 +90,14 @@ class CheckpointManager:
         last = os.path.join(self.dirpath, "last")
         self._ckptr.save(last, state, force=True)
         self.meta["last_step"] = int(step)
+        # Mid-epoch granularity (the reference's Lightning restores into
+        # the middle of training seamlessly, GPT_VAE_train.py:188-190):
+        # batch_idx >= 0 marks "epoch in progress, batches [0, batch_idx]
+        # consumed"; -1 marks an end-of-epoch save.  It lives in meta.json,
+        # NOT the orbax tree — orbax rejects template/checkpoint key
+        # mismatches in both directions, so adding a key to the tree would
+        # break every existing restore site and all older checkpoints.
+        self.meta["last_batch_idx"] = int(batch_idx)
         # mode=min with NaN hygiene: a NaN metric never counts as an
         # improvement (float('nan') < x is always False BOTH ways, so one
         # divergent epoch would otherwise wedge `best` forever), and a NaN
@@ -157,6 +166,18 @@ class CheckpointManager:
                 f"version_* sibling under "
                 f"{os.path.dirname(self.dirpath)} (a run with "
                 f"--ckpt_every 0/-1 may only ever write 'last')")
+        # Surface the resolved checkpoint's mid-epoch position (meta.json
+        # sidecar next to it).  Only 'last' can be mid-epoch: 'best' is
+        # written exclusively at epoch end where a val metric exists.
+        # Checkpoints from before this feature lack the key -> -1
+        # (end-of-epoch), the old semantics.
+        self.restored_batch_idx = -1
+        if os.path.basename(path) == "last":
+            mp = os.path.join(os.path.dirname(path), "meta.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    self.restored_batch_idx = int(
+                        json.load(f).get("last_batch_idx", -1))
         if template is not None:
             # Checkpoints written off the remote backend hold live jax
             # arrays; ask orbax for host numpy explicitly (a bare numpy

@@ -53,6 +53,23 @@ def _global_mean(local_sum: float, local_count: float) -> float:
     return r["sum"] / r["count"] if r["count"] else float("nan")
 
 
+def _resume_position(ckpt: "CheckpointManager", restored_epoch: int):
+    """Map a restored checkpoint to (start_epoch, start_batch).
+
+    End-of-epoch checkpoints (batch_idx -1, incl. every pre-feature
+    checkpoint) resume at the NEXT epoch's first batch; mid-epoch ones
+    (``--ckpt_every_steps`` / ``--max_steps`` saves) resume inside the
+    SAME epoch at the first unconsumed batch — the reference's Lightning
+    restores mid-training seamlessly (GPT_VAE_train.py:188-190); here it
+    is exact because step RNG and batch order are pure functions of
+    (seed, epoch, i), pinned by
+    tests/test_runner.py::test_midepoch_resume_equivalence_*."""
+    b = getattr(ckpt, "restored_batch_idx", -1)
+    if b >= 0:
+        return restored_epoch, b + 1
+    return restored_epoch + 1, 0
+
+
 def _should_save(epoch: int, epochs: int, ckpt_every: int) -> bool:
     """Per-epoch checkpointing like the reference ModelCheckpoint by
     default (ckpt_every=1); ``ckpt_every=N`` saves every Nth epoch plus
@@ -74,18 +91,27 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
             resume: Optional[str] = None,
             limit_train_batches: Optional[int] = None,
             limit_val_batches: Optional[int] = None,
-            ckpt_every: int = 1):
+            ckpt_every: int = 1, ckpt_every_steps: int = 0,
+            max_steps: Optional[int] = None):
     """Train the class-conditional GPT (reference loop semantics:
-    GPT_train.py:124-128 + Lit_minGPT train/val steps)."""
+    GPT_train.py:124-128 + Lit_minGPT train/val steps).
+
+    ``ckpt_every_steps=N`` additionally saves ``last`` every N train steps
+    WITH its mid-epoch position; ``max_steps`` stops (and saves) after that
+    many total optimizer steps, possibly mid-epoch.  Both resume exactly
+    (see _resume_position); a resumed partial epoch's printed train loss
+    averages only its remaining batches."""
     state = task.init_state(seed)
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if resume:
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
             "epoch": 0})
         state = place_like(restored["state"], state)
-        start_epoch = int(restored["epoch"]) + 1
-        print(f"Restored from {resume} at epoch {start_epoch}")
+        start_epoch, start_batch = _resume_position(
+            ckpt, int(restored["epoch"]))
+        print(f"Restored from {resume} at epoch {start_epoch}" +
+              (f" batch {start_batch}" if start_batch else ""))
 
     rng = jax.random.PRNGKey(seed)
     train_loader = dm.train_dataloader()
@@ -98,30 +124,51 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
-        # step RNG is a pure function of (seed, epoch, i) — NOT a stream
+        # resumed epoch: skip the already-consumed prefix without loading
+        # its data; `gi` below is the batch's TRUE index within the epoch
+        off = start_batch if epoch == start_epoch else 0
+        # see fit_vae: only touch the loader when a skip is needed
+        if off or getattr(train_loader, "start_batch", 0):
+            train_loader.set_start_batch(off)
+        # step RNG is a pure function of (seed, epoch, gi) — NOT a stream
         # split sequentially from fit-start — so an interrupted run resumed
-        # at epoch N sees the exact dropout keys the uninterrupted run saw
-        # (resume-continuation equivalence, pinned by
-        # tests/test_training.py::test_resume_continuation_equivalence_gpt)
+        # at epoch N (or mid-epoch at batch i) sees the exact dropout keys
+        # the uninterrupted run saw (resume-continuation equivalence,
+        # pinned by tests/test_runner.py::test_resume_continuation_* and
+        # ::test_midepoch_resume_equivalence_gpt)
         epoch_rng = jax.random.fold_in(rng, epoch)
         t0 = time.time()
         losses = []
         for i, batch in enumerate(train_loader):
-            if limit_train_batches and i >= limit_train_batches:
+            gi = i + off
+            if limit_train_batches and gi >= limit_train_batches:
                 break
-            step_rng = jax.random.fold_in(epoch_rng, i)
+            step_rng = jax.random.fold_in(epoch_rng, gi)
             state, loss = task.train_step(state, batch, step_rng)
             losses.append(loss)
             step += 1
             perf = timer.tick(len(batch["target"]))
             if perf:
                 log.scalars(perf, step)
-            if i % 50 == 0:
+            if gi % 50 == 0:
                 log.scalar("train/loss_step", loss, step)
                 log.scalar("learning_rate", _live_lr(task, state), step)
             if media_cb and logging_frequency and \
-                    (i % logging_frequency == 0):
+                    (gi % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
+            hit_budget = max_steps is not None and step >= max_steps
+            if hit_budget or (ckpt_every_steps and
+                              (gi + 1) % ckpt_every_steps == 0):
+                # mid-epoch save: no val metric exists here, so only
+                # `last` is written (never `best`)
+                ckpt.save({"state": state, "epoch": epoch}, step,
+                          batch_idx=gi)
+            if hit_budget:
+                if is_primary():
+                    print(f"max_steps {max_steps} reached at epoch "
+                          f"{epoch} batch {gi}; stopping")
+                ckpt.wait()
+                return state
 
         # ONE d2h fetch for the whole epoch: per-element _host() would
         # issue len(losses) sequential round trips through the remote
@@ -184,13 +231,17 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             resume: Optional[str] = None,
             limit_train_batches: Optional[int] = None,
             limit_val_batches: Optional[int] = None,
-            ckpt_every: int = 1):
+            ckpt_every: int = 1, ckpt_every_steps: int = 0,
+            max_steps: Optional[int] = None):
     """Train the GPT-VAE (reference: GPT_VAE_train.py:186-190 +
     Lit_GPT_VAE train/val/epoch-end machinery).  The checkpoint carries
     kl_weight inside the state plus best_loss/pre_mi extras
-    (reference on_save_checkpoint: Lit_GPT_VAE.py:959-964)."""
+    (reference on_save_checkpoint: Lit_GPT_VAE.py:959-964).
+    ``ckpt_every_steps`` / ``max_steps``: mid-epoch save / stop with exact
+    resume, as in fit_gpt (kl_weight anneal rides inside the state, so the
+    anneal trajectory survives a mid-epoch restart too)."""
     state = task.init_state(seed)
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     extras: Dict[str, Any] = {"best_loss": 1e4, "pre_mi": 0.0,
                               "not_improved": 0}
     if resume:
@@ -199,8 +250,10 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             "epoch": 0, "extras": extras})
         state = place_like(restored["state"], state)
         extras = restored["extras"]
-        start_epoch = int(restored["epoch"]) + 1
-        print(f"Restored from {resume} at epoch {start_epoch}")
+        start_epoch, start_batch = _resume_position(
+            ckpt, int(restored["epoch"]))
+        print(f"Restored from {resume} at epoch {start_epoch}" +
+              (f" batch {start_batch}" if start_batch else ""))
 
     rng = jax.random.PRNGKey(seed)
     eval_base = jax.random.PRNGKey(seed + 1)
@@ -212,27 +265,44 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
 
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
-        # resume-invariant step keys: pure function of (seed, epoch, i),
+        off = start_batch if epoch == start_epoch else 0
+        # only touch the loader when a skip is needed (or must be reset):
+        # duck-typed stand-in loaders without set_start_batch keep working
+        if off or getattr(train_loader, "start_batch", 0):
+            train_loader.set_start_batch(off)
+        # resume-invariant step keys: pure function of (seed, epoch, gi),
         # see fit_gpt
         epoch_rng = jax.random.fold_in(rng, epoch)
         t0 = time.time()
         for i, batch in enumerate(train_loader):
-            if limit_train_batches and i >= limit_train_batches:
+            gi = i + off
+            if limit_train_batches and gi >= limit_train_batches:
                 break
-            step_rng = jax.random.fold_in(epoch_rng, i)
+            step_rng = jax.random.fold_in(epoch_rng, gi)
             state, loss, report = task.train_step(state, batch, step_rng,
                                                   epoch=epoch)
             step += 1
             perf = timer.tick(batch["codes"].shape[0])
             if perf:
                 log.scalars(perf, step)
-            if i % 50 == 0:
+            if gi % 50 == 0:
                 # report values are device arrays; TBLogger materialises
                 # them here (and only here)
                 log.scalars(report, step)
             if media_cb and logging_frequency and \
-                    (i % logging_frequency == 0):
+                    (gi % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
+            hit_budget = max_steps is not None and step >= max_steps
+            if hit_budget or (ckpt_every_steps and
+                              (gi + 1) % ckpt_every_steps == 0):
+                ckpt.save({"state": state, "epoch": epoch,
+                           "extras": extras}, step, batch_idx=gi)
+            if hit_budget:
+                if is_primary():
+                    print(f"max_steps {max_steps} reached at epoch "
+                          f"{epoch} batch {gi}; stopping")
+                ckpt.wait()
+                return state
 
         # validation epoch (aggregated NLL/PPL, reference :363-383) with a
         # per-epoch pinned eval key so the monitored metric is reproducible

@@ -98,6 +98,34 @@ def test_loader_parallel_workers_order_identical(vas_tree):
         np.testing.assert_array_equal(a["codes"], b["codes"])
 
 
+def test_loader_start_batch_skips_prefix(vas_tree):
+    """set_start_batch(b) yields exactly the full iteration's suffix [b:]
+    (mid-epoch resume replays an interrupted epoch from the saved batch
+    index without loading the consumed prefix) — identical on the serial,
+    prefetch-thread, and thread-pool paths, and reset by set_start_batch(0)."""
+    ds = VASSpecs("train", str(vas_tree / "features" / "*" /
+                               "melspec_10s_22050hz"),
+                  data_root=str(vas_tree / "data"))
+    full = list(DataLoader(ds, batch_size=3, shuffle=True, prefetch=0))
+    assert len(full) == 3
+    for kw in (dict(prefetch=0), dict(prefetch=2),
+               dict(prefetch=2, num_workers=4)):
+        dl = DataLoader(ds, batch_size=3, shuffle=True, **kw)
+        dl.set_start_batch(2)
+        suffix = list(dl)
+        assert len(suffix) == 1
+        assert suffix[0]["file_path_"] == full[2]["file_path_"]
+        np.testing.assert_array_equal(suffix[0]["codes"], full[2]["codes"])
+        dl.set_start_batch(0)
+        again = list(dl)
+        assert [b["file_path_"] for b in again] == \
+            [b["file_path_"] for b in full]
+    # skipping past the end yields nothing (resume saved at the last batch)
+    dl = DataLoader(ds, batch_size=3, shuffle=True, prefetch=0)
+    dl.set_start_batch(99)
+    assert list(dl) == []
+
+
 def test_datamodule_selects_vas(vas_tree):
     dm = DataModule(batch_size=2,
                     spec_dir_path=str(vas_tree / "features" / "*" /

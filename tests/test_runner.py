@@ -232,6 +232,81 @@ def test_resume_continuation_equivalence_gpt(vas_tree, tmp_path):
     _tree_bitequal(state_a["opt_state"], state_b["opt_state"])
 
 
+def test_midepoch_resume_equivalence_gpt(vas_tree, tmp_path):
+    """fit(2 epochs) == fit stopped MID-EPOCH by --max_steps -> fresh
+    restore -> fit(2) BIT-EXACTLY: the interrupted run saves its batch
+    index (checkpoint meta.json), and resume continues at the same epoch's
+    next batch with the same (seed, epoch, i) step keys and the same
+    per-epoch shuffle suffix.  Closes the reference delta that Lightning
+    restores into the middle of training seamlessly
+    (GPT_VAE_train.py:188-190); here it is exact, not approximate."""
+    dm = _dm(vas_tree)   # 12 train items / bs 4 = 3 batches per epoch
+
+    def new_task():
+        return GPTTask(_exp(TINY_GPT), mesh=make_mesh({"data": 4}),
+                       use_pallas=False)
+
+    log = TBLogger(str(tmp_path / "logs"))
+    ckpt_a = CheckpointManager(str(tmp_path / "a"))
+    state_a = runner.fit_gpt(new_task(), dm, epochs=2, log=log, ckpt=ckpt_a,
+                             logging_frequency=0, ckpt_every=0)
+
+    # stop inside epoch 1 (after its first batch: 3 + 1 = 4 steps)
+    ckpt_b = CheckpointManager(str(tmp_path / "b"))
+    partial = runner.fit_gpt(new_task(), dm, epochs=2, log=log, ckpt=ckpt_b,
+                             logging_frequency=0, ckpt_every=-1, max_steps=4)
+    assert int(jax.device_get(partial["step"])) == 4
+    assert ckpt_b.meta["last_batch_idx"] == 0   # epoch 1, batch 0 done
+    state_b = runner.fit_gpt(new_task(), dm, epochs=2, log=log, ckpt=ckpt_b,
+                             logging_frequency=0, resume="last",
+                             ckpt_every=-1)
+
+    _tree_bitequal(state_a["params"], state_b["params"])
+    _tree_bitequal(state_a["opt_state"], state_b["opt_state"])
+    assert int(jax.device_get(state_a["step"])) == \
+        int(jax.device_get(state_b["step"]))
+
+
+def test_midepoch_resume_equivalence_vae(vas_tree, tmp_path):
+    """Same mid-epoch equivalence for fit_vae, via --ckpt_every_steps
+    periodic saves instead of a max_steps stop: the kl_weight anneal
+    (inside the state) and best_loss/pre_mi extras survive the mid-epoch
+    restart bit-exactly (reference on_save/on_load_checkpoint:
+    Lit_GPT_VAE.py:959-971)."""
+    dm = _dm(vas_tree)
+    exp = _exp(TINY_VAE)
+    exp.vae = VAEConfig(nz=16, warm_up=2, kl_start=0.25)
+
+    def new_task():
+        return VAETask(exp, steps_per_epoch=3, mesh=make_mesh({"data": 4}),
+                       use_pallas=False)
+
+    log = TBLogger(str(tmp_path / "logs"))
+    ckpt_a = CheckpointManager(str(tmp_path / "a"))
+    state_a = runner.fit_vae(new_task(), dm, epochs=2, log=log, ckpt=ckpt_a,
+                             logging_frequency=0, ckpt_every=0)
+
+    # periodic step saves (every 2) + budget stop at step 5 = epoch 1
+    # batch 1 -> resume replays only epoch 1 batch 2
+    ckpt_b = CheckpointManager(str(tmp_path / "b"))
+    runner.fit_vae(new_task(), dm, epochs=2, log=log, ckpt=ckpt_b,
+                   logging_frequency=0, ckpt_every=-1, ckpt_every_steps=2,
+                   max_steps=5)
+    assert ckpt_b.meta["last_batch_idx"] == 1
+    state_b = runner.fit_vae(new_task(), dm, epochs=2, log=log, ckpt=ckpt_b,
+                             logging_frequency=0, resume="last",
+                             ckpt_every=-1)
+
+    _tree_bitequal(state_a["params"], state_b["params"])
+    _tree_bitequal(state_a["opt_state"], state_b["opt_state"])
+    assert float(state_a["kl_weight"]) == float(state_b["kl_weight"])
+    # an end-of-epoch save from the resumed run marks the epoch complete
+    ckpt_b.save({"state": state_b, "epoch": 1,
+                 "extras": {"best_loss": 0.0, "pre_mi": 0.0,
+                            "not_improved": 0}}, 6, metric=1.0)
+    assert ckpt_b.meta["last_batch_idx"] == -1
+
+
 def test_live_lr_read_and_set(vas_tree):
     """The logged learning rate reads the OPTIMIZER (reference attaches a
     LearningRateMonitor, GPT_train.py:92), not the config constant: after
