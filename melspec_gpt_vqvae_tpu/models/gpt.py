@@ -32,7 +32,7 @@ import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
 from ..configs import GPTConfig
-from ..ops.attention import attend
+from ..ops.attention import attend, bernoulli_u8
 from ..ops.sampling import sample_logits
 
 Params = Dict[str, Any]
@@ -110,7 +110,7 @@ def _raw_key_zeros(prefix):
 def _dropout(x, rate: float, rng: Optional[jax.Array], train: bool):
     if not train or rate <= 0.0 or rng is None:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    keep = bernoulli_u8(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 

@@ -44,6 +44,39 @@ def window_mask(t: int, n_unmasked: int = 0) -> np.ndarray:
     return m
 
 
+def bernoulli_u8(rng: jax.Array, keep_prob: float, shape):
+    """Bernoulli(keep_prob) keep-mask from the narrowest exact-enough draw.
+
+    ``jax.random.bernoulli`` draws 32 random bits per element; at the VAS
+    training geometry the attention mask alone is u32[24,16,265,265] =
+    108 MB of generator writes per layer replay, and the TPU backward
+    attention fusion wants it in a transposed layout, so XLA materialises
+    a second 108 MB copy (the two ~12 ms/step 'data formatting' ops in
+    TRAIN_PROFILE.json).  ``rng_bit_generator`` emits narrow uints
+    natively, so:
+
+    * keep_prob a multiple of 1/256 (the reference GPT presets use 0.5,
+      config_GPT_vas.py): one byte per element is EXACT
+      (P(bits < t) = t/256) — generator write and layout copy shrink 4x;
+    * otherwise (e.g. the GPT-VAE presets' 0.3): uint16, P quantised to
+      the nearest 1/65536 — within 8e-6 absolute of the requested rate
+      (``jax.random.bernoulli`` itself quantises at the uniform's 2^-23
+      mantissa granularity, so dropout rates were never IEEE-exact) —
+      halving the traffic.
+
+    Dropout masks are the only user; nothing downstream depends on the
+    draw's bit pattern, only its statistics."""
+    t = keep_prob * 256.0
+    if 0 <= t < 256 and t == round(t):
+        bits = jax.random.bits(rng, shape, jnp.uint8)
+        return bits < jnp.uint8(int(round(t)))
+    t16 = int(round(keep_prob * 65536.0))
+    if not 0 <= t16 < 65536:
+        return jax.random.bernoulli(rng, keep_prob, shape)
+    bits = jax.random.bits(rng, shape, jnp.uint16)
+    return bits < jnp.uint16(t16)
+
+
 # ---------------------------------------------------------------------------
 # XLA path (training / attention-map logging)
 # ---------------------------------------------------------------------------
@@ -64,7 +97,7 @@ def attend_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     attn = jax.nn.softmax(scores, axis=-1)
     attn_used = attn
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        keep = bernoulli_u8(dropout_rng, 1.0 - dropout_rate, attn.shape)
         attn_used = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn_used.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)

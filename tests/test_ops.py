@@ -143,3 +143,21 @@ def test_gpt_generate_top_p_runs_and_masks():
     nuc = G.gpt_generate(params, cfg, jax.random.PRNGKey(3), cond,
                          steps=4, top_p=1e-9)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(nuc))
+
+
+def test_bernoulli_u8_statistics_and_paths():
+    """bernoulli_u8: u8 path for rates that are multiples of 1/256 (exact),
+    u16 path otherwise (P quantised to 1/65536); empirical keep-rate within
+    MC noise of the requested probability on both paths."""
+    key = jax.random.PRNGKey(7)
+    n = 1 << 20
+    for p in (0.5, 0.75):        # exact u8 thresholds
+        m = A.bernoulli_u8(key, p, (n,))
+        assert m.dtype == jnp.bool_
+        assert abs(float(jnp.mean(m)) - p) < 4e-3
+    for p in (0.7, 0.9):         # u16 path
+        m = A.bernoulli_u8(key, p, (n,))
+        assert abs(float(jnp.mean(m)) - p) < 4e-3
+    # keep_prob edge cases: 0 keeps nothing, ~1 falls back without error
+    assert not bool(jnp.any(A.bernoulli_u8(key, 0.0, (256,))))
+    assert bool(jnp.all(A.bernoulli_u8(key, 1.0, (256,))))
