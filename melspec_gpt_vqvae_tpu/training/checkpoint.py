@@ -187,8 +187,32 @@ class CheckpointManager:
                 lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
                 if hasattr(x, "shape") and hasattr(x, "dtype")
                 else ocp.RestoreArgs(), template)
-            return self._ckptr.restore(path, item=template,
-                                       restore_args=restore_args)
+            out = self._ckptr.restore(path, item=template,
+                                      restore_args=restore_args)
+            # Orbax matches tree STRUCTURE but hands back the saved leaf
+            # shapes regardless of the template's — a checkpoint from a
+            # different model geometry (e.g. --resume without repeating
+            # the original --override) would otherwise surface later as
+            # an inscrutable lax.scan "different leading axis sizes"
+            # crash inside the first jitted step.  Fail here, clearly.
+            t_leaves = jax.tree_util.tree_leaves_with_path(template)
+            r_leaves = jax.tree_util.tree_leaves(out)
+            bad = [
+                f"  {jax.tree_util.keystr(p)}: checkpoint "
+                f"{tuple(np.shape(r))} vs this run {tuple(t.shape)}"
+                for (p, t), r in zip(t_leaves, r_leaves)
+                if hasattr(t, "shape")
+                and tuple(np.shape(r)) != tuple(t.shape)]
+            if bad:
+                head = "\n".join(bad[:8])
+                more = f"\n  ... and {len(bad) - 8} more" if len(bad) > 8 \
+                    else ""
+                raise ValueError(
+                    f"checkpoint at {path} does not match this run's model "
+                    f"geometry ({len(bad)} leaf shape mismatches):\n{head}"
+                    f"{more}\nIf the original run used --override, repeat "
+                    f"the exact same override with --resume.")
+            return out
         return self._ckptr.restore(path)
 
     @staticmethod

@@ -155,6 +155,26 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(state["params"]["tok_emb"]))
 
 
+def test_checkpoint_restore_geometry_mismatch_raises(tmp_path):
+    """Restoring a checkpoint into a template with different leaf shapes
+    (e.g. --resume without repeating the run's --override) must raise a
+    clear error naming the mismatched leaves — not surface later as a
+    lax.scan axis-size crash inside the first jitted step."""
+    task = GPTTask(_exp(), make_mesh())
+    state = task.init_state(0)
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save({"state": state, "epoch": 0}, step=10, metric=1.5)
+    ckpt.wait()
+    template = {"state": jax.tree_util.tree_map(np.asarray, state),
+                "epoch": 0}
+    wrong = np.zeros(
+        (7,) + tuple(np.shape(template["state"]["params"]["tok_emb"])[1:]),
+        dtype=np.float32)
+    template["state"]["params"]["tok_emb"] = wrong
+    with pytest.raises(ValueError, match="--override"):
+        ckpt.restore("last", template=template)
+
+
 def test_stage2_encoder_merge(tmp_path):
     from melspec_gpt_vqvae_tpu.models.gpt_vae import (init_vae_params,
                                                       make_vae_configs)
