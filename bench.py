@@ -114,6 +114,10 @@ def main():
     # VQ decoder + vocoder (quality-gated: scripts/int8_quality.py; the
     # int8 MXU path measured 1.27-1.66x on the stage's dominant shapes)
     int8_dec = os.environ.get("BENCH_INT8_DECODE", "0") == "1" and on_tpu
+    # fused vocoder resblock-stack kernel (ops/vocoder_pallas.py): default
+    # on; FusedConvs self-gates to TPU + supported geometry
+    fused_voc = (os.environ.get("BENCH_FUSED_VOC", "1") == "1"
+                 and not int8_dec)
     qstate = None
     if int8_dec:
         from melspec_gpt_vqvae_tpu.models.quantized import build_qstate
@@ -139,6 +143,10 @@ def main():
         mel01 = jnp.swapaxes(mel01, 1, 2)
         if int8_dec:
             return qz.melgan_apply(vocp, exp.vocoder, mel01, ex)
+        if fused_voc:
+            from melspec_gpt_vqvae_tpu.models import quantized as qzf
+            return qzf.melgan_apply(vocp, exp.vocoder, mel01,
+                                    qzf.FusedConvs())
         return melgan.apply({"params": vocp}, mel01)      # (B, samples)
 
     # params are explicit jit args — closing over them would bake hundreds

@@ -53,6 +53,12 @@ def serving_fn(pipe, *, temperature: float = 1.0, top_k: Optional[int] = 100,
     if pipe._qstate is not None:
         raise ValueError("AOT export does not cover the int8-decode "
                          "experiment")
+    if pipe._fused_voc and jax.default_backend() in ("tpu", "axon"):
+        # on CPU FusedConvs traces to the plain conv path, so the
+        # artifact stays kernel-free; on TPU it would embed a Mosaic
+        # custom call and pin the artifact to one backend
+        raise ValueError("AOT export requires a kernel-free pipeline; "
+                         "build with fused_vocoder=False")
 
     def fn(gpt_params, vq_params, voc_params, classes, seed):
         key = jax.random.PRNGKey(seed)

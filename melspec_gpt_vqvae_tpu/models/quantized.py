@@ -81,6 +81,59 @@ class FloatConvs:
         pad = r // 2 + r % 2
         return y[:, pad:y.shape[1] - pad + r % 2, :]
 
+    def resblock_stack(self, path, x, plist, dilations):
+        """One MelGAN upsample stage's chain of dilated ResnetBlocks
+        (reference vocoder/modules.py:23-36), conv by conv."""
+        for j, (p, d) in enumerate(zip(plist, dilations)):
+            h = nn.leaky_relu(x, 0.2)
+            h = _reflect_pad_1d(h, d)
+            h = self.conv(f"{path}_{j}/block_conv1", h, p["block_conv1"],
+                          padding=0, dilation=(d,))
+            h = nn.leaky_relu(h, 0.2)
+            h = self.conv(f"{path}_{j}/block_conv2", h, p["block_conv2"])
+            s = self.conv(f"{path}_{j}/shortcut", x, p["shortcut"])
+            x = s + h
+        return x
+
+
+class FusedConvs(FloatConvs):
+    """Float convs with each vocoder stage's resblock stack fused into
+    one Pallas kernel (ops/vocoder_pallas.py): one HBM read + one write
+    per stage instead of ~18 full-tensor passes through 9 separate
+    convs.  The kernel reads clamped windows of the unpadded activation,
+    so its first/last sum(dilations)=13 output samples are garbage (the
+    reference reflect-pads each block's input,
+    vocoder/modules.py:30); those edge samples are recomputed exactly
+    with the unfused path on tiny slabs and patched in, so this executor
+    matches FloatConvs everywhere (tests/test_vocoder_pallas.py).
+
+    Off-TPU the executor falls back to the plain conv path entirely
+    (production CPU pipelines stay bit-identical to flax and never pay
+    the kernel's interpret mode); tests opt in with ``interpret_ok``."""
+
+    def __init__(self, interpret_ok: bool = False):
+        self.interpret_ok = interpret_ok
+
+    def resblock_stack(self, path, x, plist, dilations):
+        from ..ops import vocoder_pallas as vp
+        if not (vp._on_tpu() or self.interpret_ok):
+            return super().resblock_stack(path, x, plist, dilations)
+        b, t, c = x.shape
+        e = vp.edge_width(dilations, vp.fold_factor(c))
+        # the slab's own far-edge contamination is sum(dilations); its
+        # first/last e rows must be exact, so slab >> e + sum(dilations)
+        slab = 4 * (e + sum(dilations))
+        if (t < 2 * slab
+                or not vp.supports(t, c, dilations, x.dtype.itemsize)):
+            return super().resblock_stack(path, x, plist, dilations)
+        packed = vp.pack_stack(plist, x.dtype, dilations)
+        z = vp.fused_resblock_stack(x, packed, dilations)
+        left = super().resblock_stack(path, x[:, :slab], plist, dilations)
+        right = super().resblock_stack(path, x[:, -slab:], plist, dilations)
+        z = jax.lax.dynamic_update_slice(z, left[:, :e], (0, 0, 0))
+        return jax.lax.dynamic_update_slice(z, right[:, -e:],
+                                            (0, t - e, 0))
+
 
 class CalibConvs(FloatConvs):
     """Float convs that record each conv input's absmax (traced scalars,
@@ -112,9 +165,10 @@ class CalibConvs(FloatConvs):
         return super().conv_transpose(path, x, p, ch, r)
 
 
-class Int8Convs:
+class Int8Convs(FloatConvs):
     """Calibrated int8 convs over a prebuilt qstate
-    (:func:`make_qstate`)."""
+    (:func:`make_qstate`).  Inherits the conv-by-conv resblock_stack,
+    which routes every block conv through the int8 ``conv`` below."""
 
     def __init__(self, qstate):
         self.qstate = qstate
@@ -326,17 +380,11 @@ def melgan_apply(voc_params, cfg: VocoderConfig, mel, ex):
         ch = mult * cfg.ngf // 2
         x = ex.conv_transpose(f"voc/up_{i}", x, voc_params[f"up_{i}"],
                               ch, r)
-        for j in range(cfg.n_residual_layers):
-            p = voc_params[f"res_{i}_{j}"]
-            path = f"voc/res_{i}_{j}"
-            h = nn.leaky_relu(x, 0.2)
-            h = _reflect_pad_1d(h, 3 ** j)
-            h = ex.conv(f"{path}/block_conv1", h, p["block_conv1"],
-                        padding=0, dilation=(3 ** j,))
-            h = nn.leaky_relu(h, 0.2)
-            h = ex.conv(f"{path}/block_conv2", h, p["block_conv2"])
-            s = ex.conv(f"{path}/shortcut", x, p["shortcut"])
-            x = s + h
+        x = ex.resblock_stack(
+            f"voc/res_{i}", x,
+            [voc_params[f"res_{i}_{j}"]
+             for j in range(cfg.n_residual_layers)],
+            tuple(3 ** j for j in range(cfg.n_residual_layers)))
         mult //= 2
     x = nn.leaky_relu(x, 0.2)
     x = _reflect_pad_1d(x, 3)

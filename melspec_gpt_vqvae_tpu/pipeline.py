@@ -54,7 +54,8 @@ class GenerationPipeline:
                  voc_params, *, segments: int = 8, chunk: int = 128,
                  bf16: Optional[bool] = None, use_pallas=None, mesh=None,
                  draft_params=None, draft_cfg=None, gamma: int = 4,
-                 int8_decode: bool = False):
+                 int8_decode: bool = False,
+                 fused_vocoder: Optional[bool] = None):
         self.exp = exp
         self.gcfg = exp.model
         self.vcfg = exp.vqvae
@@ -100,6 +101,10 @@ class GenerationPipeline:
         self.chunk = chunk
         self._bf16 = bf16
         self._use_pallas = use_pallas
+        # fused vocoder resblock kernel: default on (it self-gates to
+        # TPU + supported geometry); int8_decode supersedes it
+        self._fused_voc = (fused_vocoder if fused_vocoder is not None
+                           else not int8_decode)
 
         # int8 decode stage (opt-in EXPERIMENT): calibrated per-layer
         # requantisation through the VQ decoder + vocoder conv stacks.
@@ -177,6 +182,14 @@ class GenerationPipeline:
                 from .models import quantized as qz
                 return qz.melgan_apply(vocp, exp.vocoder, mel01,
                                        qz.Int8Convs(qs))
+            if self._fused_voc:
+                # fused resblock-stack kernel (ops/vocoder_pallas.py):
+                # measured 1.4-1.6x per stage on v5e; FusedConvs itself
+                # falls back to the exact conv path off-TPU or at
+                # unsupported geometry
+                from .models import quantized as qz
+                return qz.melgan_apply(vocp, exp.vocoder, mel01,
+                                       qz.FusedConvs())
             return melgan.apply({"params": vocp}, mel01)
 
         # sample=True/False retrace via static_argnums on the inner jit;

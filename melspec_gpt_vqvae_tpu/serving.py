@@ -68,7 +68,8 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
                    draft_experiment: Optional[str] = None,
                    draft_resume: str = "best", draft_override: str = "",
                    draft_random: str = "", gamma: int = 4,
-                   int8_decode: bool = False):
+                   int8_decode: bool = False,
+                   fused_vocoder: Optional[bool] = None):
     """Load weights and construct the jit-once GenerationPipeline.
 
     The common loading path of ``sample.py`` and ``serve.py``: GPT weights
@@ -173,7 +174,8 @@ def build_pipeline(dataset: str = "vas", *, experiment: Optional[str] = None,
                               segments=segments, chunk=chunk, mesh=mesh,
                               draft_params=draft_params,
                               draft_cfg=draft_cfg, gamma=gamma,
-                              int8_decode=int8_decode)
+                              int8_decode=int8_decode,
+                              fused_vocoder=fused_vocoder)
     return exp, pipe, mesh
 
 

@@ -50,8 +50,22 @@ def main():
         return melgan.apply({"params": vocp},
                             jnp.swapaxes(mel01.astype(jnp.bfloat16), 1, 2))
 
+    def voc_ex(ex):
+        from melspec_gpt_vqvae_tpu.models import quantized as qz
+
+        def f(vocp, spec):
+            mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
+                             0.0, 1.0)
+            return qz.melgan_apply(
+                vocp, exp.vocoder,
+                jnp.swapaxes(mel01.astype(jnp.bfloat16), 1, 2), ex)
+        return f
+
+    from melspec_gpt_vqvae_tpu.models import quantized as qz
     _vqd = jax.jit(vq_dec)
     _voc = jax.jit(voc)
+    _vocx = jax.jit(voc_ex(qz.FloatConvs()))
+    _vocf = jax.jit(voc_ex(qz.FusedConvs()))
 
     def chunked(fn, x, *p):
         return jnp.concatenate([fn(*p, x[i:i + CHUNK])
@@ -77,9 +91,33 @@ def main():
     sync(wav)
     t_voc = (time.time() - t0) / ITERS
 
+    wav_x = chunked(_vocx, spec, voc_params)
+    sync(wav_x)
+    t0 = time.time()
+    for _ in range(ITERS):
+        wav_x = chunked(_vocx, spec, voc_params)
+    sync(wav_x)
+    t_vocx = (time.time() - t0) / ITERS
+
+    wav_f = chunked(_vocf, spec, voc_params)
+    sync(wav_f)
+    t0 = time.time()
+    for _ in range(ITERS):
+        wav_f = chunked(_vocf, spec, voc_params)
+    sync(wav_f)
+    t_vocf = (time.time() - t0) / ITERS
+    err = float(jnp.max(jnp.abs(wav.astype(jnp.float32)
+                                - wav_f.astype(jnp.float32))))
+    err_x = float(jnp.max(jnp.abs(wav.astype(jnp.float32)
+                                  - wav_x.astype(jnp.float32))))
+
     print(json.dumps({"B": B, "chunk": CHUNK,
                       "vq_decode_s": round(t_vq, 4),
-                      "vocoder_s": round(t_voc, 4)}))
+                      "vocoder_s": round(t_voc, 4),
+                      "vocoder_float_exec_s": round(t_vocx, 4),
+                      "vocoder_fused_s": round(t_vocf, 4),
+                      "fused_max_abs_err": round(err, 6),
+                      "float_exec_max_abs_err": round(err_x, 6)}))
 
 
 if __name__ == "__main__":

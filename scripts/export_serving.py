@@ -56,7 +56,7 @@ def main():
         args.dataset, experiment=args.experiment, resume=args.resume,
         init_random=args.init_random, vqvae_ckpt=args.vqvae_ckpt,
         vocoder_ckpt=args.vocoder_ckpt, override=args.override,
-        segments=args.segments)
+        segments=args.segments, fused_vocoder=False)
     platforms = [s for s in args.platforms.split(",") if s] or None
     ex = aot.export_serving(pipe, args.batch,
                             temperature=args.temperature,
