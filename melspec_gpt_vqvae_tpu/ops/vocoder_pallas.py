@@ -181,7 +181,12 @@ def _stack_kernel(x_hbm, *refs, sets, t_tile, halo, n_t, t_total):
     for k, ss in enumerate(sets):
         w3, b3, w1, b1, ws, bs = w[6 * k:6 * k + 6]
         h = _leaky(x)
-        cat = jnp.concatenate([jnp.roll(h, -s, 0) for s in ss], -1)
+        # s == 0 must emit h directly: jnp.roll(h, 0) lowers to a
+        # concat with a zero-row slice, which Mosaic rejects ("vector
+        # types must have positive constant sizes") — and roll_sets
+        # always contains 0.
+        cat = jnp.concatenate(
+            [h if s == 0 else jnp.roll(h, -s, 0) for s in ss], -1)
         m = jnp.dot(cat, w3[:], preferred_element_type=jnp.float32)
         m = _leaky((m + b3[:]).astype(dt))
         m = (jnp.dot(m, w1[:], preferred_element_type=jnp.float32)
