@@ -274,11 +274,15 @@ def main(args):
         from melspec_gpt_vqvae_tpu.training.checkpoint import (
             place_like, shape_template)
         state = task.init_state(args.seed)
+        extras0 = {"best_loss": 1e4, "pre_mi": 0.0, "not_improved": 0}
         template = {"state": shape_template(state),
-                    "epoch": 0, "extras": {"best_loss": 1e4, "pre_mi": 0.0,
-                                           "not_improved": 0}}
-        return place_like(ckpt.restore(which, template=template)["state"],
-                          state)
+                    "epoch": 0, "extras": dict(extras0)}
+        # defaults= migrates round<=3 checkpoints (bare-chain opt_state,
+        # no 'not_improved') — see CheckpointManager.restore
+        return place_like(ckpt.restore(
+            which, template=template,
+            defaults={"state": state, "epoch": 0,
+                      "extras": extras0})["state"], state)
 
     def _limited_val():
         for i, b in enumerate(dm.val_dataloader()):

@@ -222,6 +222,11 @@ class TrainConfig:
     lr_decay: float = 0.0          # multiply LR by this on plateau
     lr_decay_patience: int = 5     # stale val epochs before decaying
     lr_decay_start: int = 15       # no decay before this epoch
+    # ReduceLROnPlateau-style threshold: an epoch only counts as improved
+    # when it beats best_loss by more than this; 0.0 = any improvement
+    # resets the stale counter (a flat-but-epsilon-improving val loss
+    # then never triggers decay).
+    lr_decay_min_delta: float = 0.0
     # TPU-native distribution (replaces Lightning DDP devices/num_nodes):
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8} / {"data": 4, "model": 2}
 

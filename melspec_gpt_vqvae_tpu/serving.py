@@ -52,9 +52,12 @@ def _restore_gpt_params(exp, dataset: str, experiment: str, resume: str,
     if not versions:
         raise SystemExit(f"no checkpoints under {ckpt_root}")
     ckpt = CheckpointManager(os.path.join(ckpt_root, versions[-1]))
-    template = {"state": shape_template(GPTTask(exp).init_state(seed)),
-                "epoch": 0}
-    restored = ckpt.restore(resume, template=template)
+    state0 = GPTTask(exp).init_state(seed)
+    template = {"state": shape_template(state0), "epoch": 0}
+    # defaults= lets round<=3 checkpoints (bare-chain opt_state) restore
+    # via the legacy-layout migration in CheckpointManager.restore
+    restored = ckpt.restore(resume, template=template,
+                            defaults={"state": state0, "epoch": 0})
     return restored["state"]["params"], int(restored["epoch"])
 
 

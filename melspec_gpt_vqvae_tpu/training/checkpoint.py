@@ -29,6 +29,99 @@ from ..parallel.mesh import is_primary
 from ..utils.transfer import _remote_backend, chunked_device_get
 
 
+_MISSING = object()
+
+# Leaves a legacy checkpoint may legitimately lack, fillable from fresh
+# defaults: the inject_hyperparams wrapper state (round 4 moved the live
+# LR into the opt state — optim.py) and later-added extras scalars
+# (e.g. 'not_improved').  Anything else missing means a genuinely
+# incompatible checkpoint and must stay a hard error.
+_DEFAULTABLE = ("hyperparams", "hyperparams_states", "count", "extras")
+
+
+def _norm_path(kp) -> list:
+    """jax key-path -> list of plain key strings (dict keys, namedtuple
+    field names, sequence indices) matching orbax's untemplated-restore
+    nesting."""
+    import jax.tree_util as jtu
+    parts = []
+    for k in kp:
+        if isinstance(k, jtu.DictKey):
+            parts.append(str(k.key))
+        elif isinstance(k, jtu.GetAttrKey):
+            parts.append(k.name)
+        elif isinstance(k, jtu.SequenceKey):
+            parts.append(str(k.idx))
+        elif isinstance(k, jtu.FlattenedIndexKey):
+            parts.append(str(k.key))
+        else:  # pragma: no cover - future key kinds
+            parts.append(str(k).strip("[]'. "))
+    return parts
+
+
+def _raw_lookup(raw, parts):
+    node = raw
+    for p in parts:
+        if isinstance(node, dict):
+            if p not in node:
+                return _MISSING
+            node = node[p]
+        elif isinstance(node, (list, tuple)):
+            if not p.isdigit() or int(p) >= len(node):
+                return _MISSING
+            node = node[int(p)]
+        else:
+            return _MISSING
+    return node
+
+
+def migrate_legacy_tree(raw, template, defaults=None):
+    """Rebuild ``template``'s pytree structure from an untemplated orbax
+    restore of an OLDER checkpoint.
+
+    Two structural deltas exist in the wild (round <=3 checkpoints, which
+    cost ~20 min each to produce through the remote-TPU tunnel):
+      * ``opt_state`` was the bare optax chain; round 4 wrapped it in
+        ``optax.inject_hyperparams`` (optim.py), adding ``count`` /
+        ``hyperparams`` / ``hyperparams_states`` around an ``inner_state``
+        holding the exact legacy chain.
+      * ``extras`` gained 'not_improved' (runner.py plateau tracking).
+
+    Per template leaf: direct path lookup in ``raw``; else the same path
+    with 'inner_state' stripped (unwraps the legacy chain); else — only
+    for whitelisted wrapper/extras leaves — the fresh-init value from
+    ``defaults`` (same treedef as template).  Any other miss raises.
+    Returns (tree, filled_path_strings)."""
+    import jax.tree_util as jtu
+    leaves_kp, treedef = jtu.tree_flatten_with_path(template)
+    dflat = {}
+    if defaults is not None:
+        dflat = {"/".join(_norm_path(kp)): leaf
+                 for kp, leaf in jtu.tree_flatten_with_path(defaults)[0]}
+    out, filled, missing = [], [], []
+    for kp, tl in leaves_kp:
+        parts = _norm_path(kp)
+        v = _raw_lookup(raw, parts)
+        if v is _MISSING and "inner_state" in parts:
+            v = _raw_lookup(raw, [p for p in parts if p != "inner_state"])
+        if v is _MISSING:
+            key = "/".join(parts)
+            if any(p in _DEFAULTABLE for p in parts) and key in dflat:
+                v = dflat[key]
+                filled.append(key)
+            else:
+                missing.append(key)
+                v = None
+        out.append(v)
+    if missing:
+        head = "\n".join(f"  {m}" for m in missing[:8])
+        raise ValueError(
+            f"checkpoint migration failed: {len(missing)} leaves exist in "
+            f"this run's state but not in the checkpoint (and are not "
+            f"legacy wrapper/extras keys fillable from defaults):\n{head}")
+    return jtu.tree_unflatten(treedef, out), filled
+
+
 class CheckpointManager:
     """Async saves: ``save`` blocks only for the device->host transfer
     (orbax AsyncCheckpointer); the disk write — minutes for the 2.09B XL
@@ -136,8 +229,17 @@ class CheckpointManager:
             self._write_meta()
 
     def restore(self, which: str = "last",
-                template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+                template: Optional[Dict[str, Any]] = None,
+                defaults: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """``which``: 'last', 'best', or an explicit checkpoint directory.
+
+        ``defaults``: a live tree with the same structure as ``template``
+        (e.g. the fresh init state + extras).  When the checkpoint predates
+        a state-structure change (round <=3: bare-chain opt_state, no
+        'not_improved' extra) the templated restore fails structurally;
+        with ``defaults`` the restore falls back to an untemplated read +
+        :func:`migrate_legacy_tree`, filling only whitelisted wrapper/
+        extras leaves from the defaults and reporting what it filled.
 
         'last'/'best' fall back to the newest earlier ``version_*`` sibling
         when the current (fresh) version dir has no checkpoint yet — so
@@ -187,8 +289,29 @@ class CheckpointManager:
                 lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
                 if hasattr(x, "shape") and hasattr(x, "dtype")
                 else ocp.RestoreArgs(), template)
-            out = self._ckptr.restore(path, item=template,
-                                      restore_args=restore_args)
+            try:
+                out = self._ckptr.restore(path, item=template,
+                                          restore_args=restore_args)
+            except ValueError as e:
+                # Structure mismatch = a checkpoint from before a state
+                # layout change (orbax: "tree structures do not match ...
+                # MISSING").  Migrate instead of losing a ~20-min-to-save
+                # artifact; without defaults, fail with a pointer.
+                if defaults is None:
+                    raise ValueError(
+                        f"checkpoint at {path} predates this run's state "
+                        f"structure (likely a round<=3 save: bare-chain "
+                        f"opt_state / no 'not_improved' extra). Restore "
+                        f"sites that pass `defaults=` migrate it "
+                        f"automatically. Original orbax error:\n{e}"
+                    ) from e
+                raw = self._ckptr.restore(path)
+                out, filled = migrate_legacy_tree(raw, template, defaults)
+                if filled and is_primary():
+                    print(f"checkpoint: migrated legacy layout from {path}"
+                          f"; filled {len(filled)} leaves with fresh "
+                          f"defaults: {', '.join(filled[:6])}"
+                          + (" ..." if len(filled) > 6 else ""))
             # Orbax matches tree STRUCTURE but hands back the saved leaf
             # shapes regardless of the template's — a checkpoint from a
             # different model geometry (e.g. --resume without repeating

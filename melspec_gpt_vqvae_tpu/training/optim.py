@@ -80,13 +80,6 @@ def with_lr(opt_state, lr):
     return opt_state._replace(hyperparams=hp)
 
 
-def gpt_adafactor(learning_rate: float) -> optax.GradientTransformation:
-    """Adafactor: factored second moment, no per-param first moment — the
-    memory-frugal option for GPT-XL-scale models on a single chip (AdamW
-    state for the 2.09B-param VGGSound VAE alone exceeds 16GB HBM)."""
-    return optax.adafactor(learning_rate)
-
-
 def make_optimizer(name: str, learning_rate: float,
                    weight_decay: float = 0.01, betas=(0.9, 0.95),
                    momentum: float = 0.0, grad_clip: float | None = None

@@ -106,7 +106,7 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
     if resume:
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
-            "epoch": 0})
+            "epoch": 0}, defaults={"state": state, "epoch": 0})
         state = place_like(restored["state"], state)
         start_epoch, start_batch = _resume_position(
             ckpt, int(restored["epoch"]))
@@ -157,8 +157,11 @@ def fit_gpt(task, dm, *, epochs: int, log: TBLogger,
                     (gi % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
             hit_budget = max_steps is not None and step >= max_steps
+            # cadence keyed to the GLOBAL optimizer step (matches the CLI
+            # help "every N train steps"): a per-epoch batch index would
+            # reset each epoch and drift when epoch length % N != 0
             if hit_budget or (ckpt_every_steps and
-                              (gi + 1) % ckpt_every_steps == 0):
+                              step % ckpt_every_steps == 0):
                 # mid-epoch save: no val metric exists here, so only
                 # `last` is written (never `best`)
                 ckpt.save({"state": state, "epoch": epoch}, step,
@@ -209,7 +212,8 @@ def validate_gpt(task, dm, *, ckpt: CheckpointManager,
     state = task.init_state()
     if resume:
         restored = ckpt.restore(resume, template={
-            "state": shape_template(state), "epoch": 0})
+            "state": shape_template(state), "epoch": 0},
+            defaults={"state": state, "epoch": 0})
         state = place_like(restored["state"], state)
     val_sum, val_count = 0.0, 0.0
     for i, batch in enumerate(dm.val_dataloader()):
@@ -247,7 +251,8 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
     if resume:
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
-            "epoch": 0, "extras": extras})
+            "epoch": 0, "extras": extras},
+            defaults={"state": state, "epoch": 0, "extras": dict(extras)})
         state = place_like(restored["state"], state)
         extras = restored["extras"]
         start_epoch, start_batch = _resume_position(
@@ -293,8 +298,9 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
                     (gi % logging_frequency == 0):
                 media_cb(state, batch, step, "train")
             hit_budget = max_steps is not None and step >= max_steps
+            # global-step cadence, see fit_gpt
             if hit_budget or (ckpt_every_steps and
-                              (gi + 1) % ckpt_every_steps == 0):
+                              step % ckpt_every_steps == 0):
                 ckpt.save({"state": state, "epoch": epoch,
                            "extras": extras}, step, batch_idx=gi)
             if hit_budget:
@@ -337,7 +343,12 @@ def fit_vae(task, dm, *, epochs: int, log: TBLogger,
             # after lr_decay_patience stale epochs, gated on
             # epoch >= lr_decay_start), opt-in via train.lr_decay > 0.
             tr = task.exp.train
-            if agg["loss"] > extras["best_loss"]:
+            # min_delta: improvements smaller than the threshold neither
+            # reset the stale counter nor advance best_loss
+            # (ReduceLROnPlateau semantics; min_delta=0 keeps the old
+            # any-improvement-resets behaviour).
+            min_delta = getattr(tr, "lr_decay_min_delta", 0.0)
+            if agg["loss"] > extras["best_loss"] - min_delta:
                 extras["not_improved"] = extras.get("not_improved", 0) + 1
                 if (getattr(tr, "lr_decay", 0.0)
                         and extras["not_improved"] >= tr.lr_decay_patience
@@ -382,10 +393,11 @@ def evaluate_vae(task, dm, *, split: str = "val",
     importance-weighted NLL/PPL driver is reference utils.py:50-77)."""
     state = task.init_state()
     if resume and ckpt:
+        extras0 = {"best_loss": 0.0, "pre_mi": 0.0, "not_improved": 0}
         restored = ckpt.restore(resume, template={
             "state": shape_template(state),
-            "epoch": 0, "extras": {"best_loss": 0.0, "pre_mi": 0.0,
-                                   "not_improved": 0}})
+            "epoch": 0, "extras": dict(extras0)},
+            defaults={"state": state, "epoch": 0, "extras": extras0})
         state = place_like(restored["state"], state)
     loader = dm.test_dataloader() if split == "test" else dm.val_dataloader()
     rng = jax.random.PRNGKey(0)
