@@ -53,19 +53,33 @@ def serving_fn(pipe, *, temperature: float = 1.0, top_k: Optional[int] = 100,
     if pipe._qstate is not None:
         raise ValueError("AOT export does not cover the int8-decode "
                          "experiment")
-    if pipe._fused_voc and jax.default_backend() in ("tpu", "axon"):
-        # on CPU FusedConvs traces to the plain conv path, so the
-        # artifact stays kernel-free; on TPU it would embed a Mosaic
-        # custom call and pin the artifact to one backend
-        raise ValueError("AOT export requires a kernel-free pipeline; "
-                         "build with fused_vocoder=False")
+    vocode = pipe._voc
+    if pipe._fused_voc:
+        # The fused resblock kernel is a serving-GRAPH choice, not a
+        # weights choice: embedding its Mosaic custom call would pin the
+        # artifact to one backend.  Instead of refusing (which made the
+        # default-built pipeline un-exportable on TPU), trace the exact
+        # plain conv path for the artifact — same weights, same transform
+        # chain as pipeline._vocode's unfused branch.
+        from .models.vocoder import MelGANGenerator
+        melgan = MelGANGenerator(pipe.exp.vocoder)
+
+        def _voc_plain(vocp, _qs, spec):
+            mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
+                             0.0, 1.0)
+            if pipe._bf16:
+                mel01 = mel01.astype(jnp.bfloat16)
+            mel01 = jnp.swapaxes(mel01, 1, 2)
+            return melgan.apply({"params": vocp}, mel01)
+
+        vocode = jax.jit(_voc_plain)
 
     def fn(gpt_params, vq_params, voc_params, classes, seed):
         key = jax.random.PRNGKey(seed)
         toks, _ = pipe._gen(gpt_params, None, classes, key,
                             temperature, top_k, top_p, sample)
         specs = pipe._dec(vq_params, None, toks)
-        wavs = pipe._voc(voc_params, None, specs)
+        wavs = vocode(voc_params, None, specs)
         return toks, specs, wavs
 
     return fn

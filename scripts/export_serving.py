@@ -52,11 +52,14 @@ def main():
     from melspec_gpt_vqvae_tpu import export as aot
     from melspec_gpt_vqvae_tpu.serving import build_pipeline
 
+    # DEFAULT pipeline build (fused vocoder on where supported): export
+    # itself traces the kernel-free conv path for the artifact
+    # (export.serving_fn), so no fused_vocoder=False is needed here
     _, pipe, _ = build_pipeline(
         args.dataset, experiment=args.experiment, resume=args.resume,
         init_random=args.init_random, vqvae_ckpt=args.vqvae_ckpt,
         vocoder_ckpt=args.vocoder_ckpt, override=args.override,
-        segments=args.segments, fused_vocoder=False)
+        segments=args.segments)
     platforms = [s for s in args.platforms.split(",") if s] or None
     ex = aot.export_serving(pipe, args.batch,
                             temperature=args.temperature,
