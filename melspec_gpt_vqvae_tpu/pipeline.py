@@ -184,9 +184,11 @@ class GenerationPipeline:
                                        qz.Int8Convs(qs))
             if self._fused_voc:
                 # fused resblock-stack kernel (ops/vocoder_pallas.py):
-                # measured 1.4-1.6x per stage on v5e; FusedConvs itself
-                # falls back to the exact conv path off-TPU or at
-                # unsupported geometry
+                # measured 0.7235 s vs 0.7387 s unfused for the full
+                # vocoder stage at B=512 on v5e (scripts/detok_split.py,
+                # BENCH_NOTES.md round-5 section) — a ~2% stage win;
+                # FusedConvs itself falls back to the exact conv path
+                # off-TPU or at unsupported geometry
                 from .models import quantized as qz
                 return qz.melgan_apply(vocp, exp.vocoder, mel01,
                                        qz.FusedConvs())

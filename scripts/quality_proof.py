@@ -7,8 +7,12 @@ shapes/parity/loss-decrease on random nets).  This script closes that:
 
   1. build a deterministic tone battery (4 classes = 4 frequency bands,
      16 base tones x 4 jittered variants = 64 clips) -> mels;
-  2. train a small-but-real VQ-VAE (GAN off: pure recon+VQ phase) until
-     it reconstructs the tones;
+  2. train a small-but-real VQ-VAE: recon+VQ phase, then the FULL
+     adversarial phase (disc_start reached on-chip: hinge discriminator
+     training, adaptive generator weight from the two-grad norm ratio,
+     reference big_model_attn_gan.py:643-844) — gated on the disc loss
+     moving, d_weight staying inside its clip range, and recon quality
+     not collapsing;
   3. tokenize the battery with the TRAINED VQ-VAE -> (5, 53) code grids;
   4. overfit a small class-conditional GPT on the codes
      (reference loop: Lit_minGPT, transformer/minGPT.py:216-665);
@@ -49,6 +53,7 @@ N_CLASSES = 4
 TONES_PER_CLASS = 4
 JITTERS = 4
 VQ_STEPS = int(os.environ.get("QP_VQ_STEPS", "300"))
+GAN_STEPS = int(os.environ.get("QP_GAN_STEPS", "150"))
 GPT_STEPS = int(os.environ.get("QP_GPT_STEPS", "400"))
 SAMPLES_PER_CLASS = int(os.environ.get("QP_SAMPLES", "8"))
 
@@ -91,10 +96,14 @@ def main():
                                 if l == c)) for c in range(N_CLASSES)}
     print(f"class dominant-bin bands: {class_bins}", flush=True)
 
-    # ---- 2) train a small-but-real VQ-VAE (GAN off) --------------------
+    # ---- 2) train a small-but-real VQ-VAE: recon phase, then the FULL
+    # adversarial phase (disc_start = VQ_STEPS, so the discriminator and
+    # the adaptive generator weight go live on-chip; reference threshold
+    # semantics: big_model_attn_gan.py:596, hinge disc :742-766,
+    # adaptive weight :643-660)
     vcfg = VQVAEConfig(ch=32, num_res_blocks=1, z_channels=64,
                        embedding_dim=64, num_embeddings=128,
-                       disc_start=10 ** 9,       # pure recon+VQ
+                       disc_start=VQ_STEPS,
                        learning_rate=3e-4, disc_ndf=16)
     vq_task = VQVAETask(vcfg)
     state = vq_task.init_state(jax.random.PRNGKey(0))
@@ -109,8 +118,60 @@ def main():
             rec = log["train/rec_loss"]
             print(f"vqvae step {step}: rec {rec:.4f} "
                   f"perp {log['train/perplexity']:.1f}", flush=True)
-    rec_final = log["train/rec_loss"]
-    print(f"vqvae final rec {rec_final:.4f}", flush=True)
+    rec_pre_gan = float(log["train/rec_loss"])
+    print(f"vqvae recon-phase final rec {rec_pre_gan:.4f}", flush=True)
+
+    # ---- 2b) adversarial phase: disc_factor flips to 1.0 at step ==
+    # VQ_STEPS.  Gates: (a) the discriminator LEARNS (hinge loss drops
+    # from its untrained ~1.0 toward separating real/fake), (b) the
+    # adaptive generator weight stays strictly inside its clip range
+    # (a pinned d_weight means the two-grad ratio saturated), (c) recon
+    # quality does not collapse under the adversarial pressure.
+    gan_logs = []
+    for step in range(GAN_STEPS):
+        idxs = rng.integers(0, n, bs)
+        state, log = vq_task.train_step(state, jnp.asarray(x_all[idxs]))
+        gan_logs.append(log)
+        if step % 25 == 0:
+            print(f"gan step {step}: rec {log['train/rec_loss']:.4f} "
+                  f"disc {log['train/disc_loss']:.4f} "
+                  f"d_weight {log['train/d_weight']:.3g} "
+                  f"g {log['train/g_loss']:.4f} "
+                  f"lr/lf {log['train/logits_real']:.3f}/"
+                  f"{log['train/logits_fake']:.3f}", flush=True)
+    rec_final = float(gan_logs[-1]["train/rec_loss"])
+    d_first = float(gan_logs[0]["train/disc_loss"])
+    d_last5 = float(np.mean([g["train/disc_loss"] for g in gan_logs[-5:]]))
+    dw_vals = np.asarray([g["train/d_weight"] for g in gan_logs])
+    margin_last5 = float(np.mean(
+        [g["train/logits_real"] - g["train/logits_fake"]
+         for g in gan_logs[-5:]]))
+    gan_gates = {
+        "disc_factor_live": float(gan_logs[-1]["train/disc_factor"]) == 1.0,
+        # hinge loss starts ~1.0 on an untrained disc (logits ~ 0); a
+        # learning disc separates real from fake -> loss drops and the
+        # real-fake logit margin opens
+        "disc_learns": d_last5 < d_first and margin_last5 > 0.0,
+        "d_weight_in_range": bool(
+            np.all(dw_vals > vcfg.min_adapt_weight)
+            and np.all(dw_vals < vcfg.max_adapt_weight * vcfg.disc_weight)),
+        "recon_not_collapsed": rec_final <= max(1.5 * rec_pre_gan,
+                                                rec_pre_gan + 0.05),
+    }
+    gan_out = {
+        "disc_loss": {"first": round(d_first, 4),
+                      "last5_mean": round(d_last5, 4)},
+        "logit_margin_last5": round(margin_last5, 4),
+        "d_weight": {"min": round(float(dw_vals.min()), 5),
+                     "max": round(float(dw_vals.max()), 5),
+                     "final": round(float(dw_vals[-1]), 5)},
+        "rec_loss": {"pre_gan": round(rec_pre_gan, 4),
+                     "final": round(rec_final, 4)},
+        "steps": GAN_STEPS, "gates": gan_gates,
+    }
+    print(f"vqvae GAN phase: {json.dumps(gan_out)}", flush=True)
+    for k, ok in gan_gates.items():
+        assert ok, f"GAN-phase gate failed: {k} ({gan_out})"
 
     # ---- 3) tokenize with the trained VQ-VAE ---------------------------
     vq = VQModel(vcfg)
@@ -181,6 +242,7 @@ def main():
         "chance": round(1.0 / N_CLASSES, 3),
         "per_class": {str(k): round(v, 3) for k, v in per_class.items()},
         "vq_rec_loss_final": round(float(rec_final), 4),
+        "gan_phase": gan_out,
         "gpt_loss": {"start": round(l0, 3), "final": round(l_final, 3)},
         "vq_steps": VQ_STEPS, "gpt_steps": GPT_STEPS,
         "clips": n, "samples_per_class": SAMPLES_PER_CLASS,

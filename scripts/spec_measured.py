@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quality_proof import N_CLASSES, make_tone_battery
+from quality_proof import N_CLASSES, SR, make_tone_battery
 from spec_acceptance import train_gpt
 
 from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
@@ -66,13 +66,76 @@ TARGET_LAYERS = int(os.environ.get("SM_TARGET_LAYERS", "24"))
 DRAFT_LAYERS = int(os.environ.get("SM_DRAFT_LAYERS", "2"))
 EMBD = int(os.environ.get("SM_EMBD", "1024"))      # CPU smoke: shrink
 HEADS = int(os.environ.get("SM_HEADS", "16"))
+# SM_CORPUS=hard swaps the easy tone battery for the mixture corpus
+# (noise bands / chirps / AM tones / chords, high intra-class variance):
+# the realistic-acceptance run the tone number is only a ceiling for.
+# Results land under SPEC_ACCEPTANCE.json["measured_e2e_hard"].
+CORPUS = os.environ.get("SM_CORPUS", "tones")
+
+
+def make_hard_battery(mcfg, seed=11):
+    """64 clips, 4 classes of STRUCTURED-BUT-VARIED audio — much harder
+    than pure tones (each clip draws random per-instance parameters, so
+    the token corpus has real conditional entropy and a draft model
+    cannot memorise it):
+
+      0: band-limited noise bursts (random band + attack envelope)
+      1: linear chirps (random start/end freqs inside a class band)
+      2: AM tones (random carrier + modulation rate) over a noise floor
+      3: two-tone chords with click transients
+    """
+    import numpy as np
+    sr = SR
+    rng = np.random.default_rng(seed)
+    t = np.arange(mcfg.clip_samples, dtype=np.float64) / sr
+    wavs, labels = [], []
+    per_class = 16
+    for c in range(N_CLASSES):
+        for _ in range(per_class):
+            if c == 0:
+                lo = rng.uniform(200, 1200)
+                hi = lo * rng.uniform(1.3, 2.0)
+                x = rng.standard_normal(len(t))
+                spec = np.fft.rfft(x)
+                f = np.fft.rfftfreq(len(t), 1.0 / sr)
+                spec[(f < lo) | (f > hi)] = 0.0
+                w = np.fft.irfft(spec, len(t))
+                w *= 1.0 - np.exp(-t / rng.uniform(0.05, 0.5))
+                w = 0.3 * w / (np.abs(w).max() + 1e-9)
+            elif c == 1:
+                f0 = rng.uniform(300, 800)
+                f1 = f0 * rng.uniform(1.5, 4.0)
+                ph = 2 * np.pi * (f0 * t + (f1 - f0) * t ** 2 / (2 * t[-1]))
+                w = 0.3 * np.sin(ph + rng.uniform(0, 2 * np.pi))
+            elif c == 2:
+                fc = rng.uniform(800, 2500)
+                fm = rng.uniform(2.0, 20.0)
+                depth = rng.uniform(0.4, 1.0)
+                w = (1 + depth * np.sin(2 * np.pi * fm * t)) / 2
+                w = 0.25 * w * np.sin(2 * np.pi * fc * t)
+                w += 0.02 * rng.standard_normal(len(t))
+            else:
+                fa = rng.uniform(400, 1000)
+                fb = fa * rng.choice([1.25, 1.5, 2.0])
+                w = 0.15 * (np.sin(2 * np.pi * fa * t)
+                            + np.sin(2 * np.pi * fb * t))
+                for _ in range(rng.integers(3, 9)):
+                    i = rng.integers(0, len(t) - 200)
+                    w[i:i + 200] += 0.3 * np.hanning(200) \
+                        * rng.choice([-1.0, 1.0])
+            w += 0.01 * rng.standard_normal(len(t))
+            wavs.append(w)
+            labels.append(c)
+    return (np.stack(wavs).astype(np.float32),
+            np.asarray(labels, np.int32), None)
 
 
 def main():
     t_start = time.time()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     mcfg = MelConfig()
-    wavs, labels, _ = make_tone_battery(mcfg)
+    battery = make_hard_battery if CORPUS == "hard" else make_tone_battery
+    wavs, labels, _ = battery(mcfg)
     n = len(wavs)
 
     mel_fn = jax.jit(lambda w: waveform_to_mel(w, mcfg))
@@ -189,17 +252,24 @@ def main():
         "per_gamma": gammas,
         "sampling": {"temperature": 0.9, "top_k": top_k},
         "minutes": round((time.time() - t_start) / 60, 1),
-        "caveat": ("trained on the tone battery (easy data) -> the "
-                   "acceptance, and so the speedup, is a MEASURED "
-                   "optimistic ceiling at deployment geometry, not a "
-                   "VAS-trained number"),
+        "corpus": CORPUS,
+        "caveat": (
+            "trained on the tone battery (easy data) -> the acceptance, "
+            "and so the speedup, is a MEASURED optimistic ceiling at "
+            "deployment geometry (measured_e2e_hard quantifies the gap)"
+            if CORPUS != "hard" else
+            "mixture corpus (noise bands/chirps/AM/chords, per-clip "
+            "random parameters): real conditional entropy in the token "
+            "stream — the realistic-acceptance companion to the tone "
+            "ceiling in measured_e2e"),
     }
     path = os.path.join(_ROOT, "SPEC_ACCEPTANCE.json")
     out = {}
     if os.path.isfile(path):
         with open(path) as f:
             out = json.load(f)
-    out["measured_e2e"] = measured
+    out["measured_e2e_hard" if CORPUS == "hard" else "measured_e2e"] \
+        = measured
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(measured))
