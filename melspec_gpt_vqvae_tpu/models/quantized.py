@@ -50,8 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import VocoderConfig, VQVAEConfig
-from ..ops.quant import (conv_float, conv_int8, polyphase_from_transpose,
-                         quantize_weight)
+from ..ops.quant import (conv_float, conv_int8, conv_transpose_polyphase,
+                         polyphase_from_transpose, quantize_weight)
 from ..ops.vq import vq_lookup
 from .vqvae import swish
 
@@ -68,14 +68,30 @@ DEFAULT_PERCENTILE = 0.9999
 
 
 class FloatConvs:
-    """Plain float convs (the parity anchor)."""
+    """Plain float convs (the parity anchor).
+
+    ``polyphase_transpose`` routes the MelGAN upsamples through the
+    exact width-2 polyphase conv (ops/quant.py
+    ``conv_transpose_polyphase``) instead of flax ``ConvTranspose``.
+    MEASURED DEAD END in float: 0.74-0.86x per upsampler, 0.87x on the
+    full vocoder stage (scripts/voc_upsample_bench.py; BENCH_NOTES.md
+    "polyphase float upsamplers") — Mosaic's native dilated-conv path
+    never materialises the zero-stuffed input the rewrite was meant to
+    avoid.  Default stays False; the int8 executor still uses the
+    polyphase form, where it exists to ride the int8 conv path at all.
+    """
+
+    polyphase_transpose = False
 
     def conv(self, path, x, p, **kw):
         return conv_float(x, p["kernel"], p.get("bias"), **kw)
 
     def conv_transpose(self, path, x, p, ch, r):
         """MelGAN upsample: flax ConvTranspose + the torch-equivalent
-        crop (models/vocoder.py:62-72)."""
+        crop (models/vocoder.py:62-72), or its exact polyphase form."""
+        if self.polyphase_transpose:
+            return conv_transpose_polyphase(x, p["kernel"], p.get("bias"),
+                                            r)
         y = nn.ConvTranspose(ch, (2 * r,), strides=(r,), padding="VALID",
                              transpose_kernel=True).apply({"params": p}, x)
         pad = r // 2 + r % 2

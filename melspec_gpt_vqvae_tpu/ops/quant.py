@@ -107,6 +107,37 @@ def polyphase_from_transpose(wf: jnp.ndarray, r: int) -> jnp.ndarray:
     return jnp.moveaxis(pk, 3, 1).reshape(2, ci, r * co)
 
 
+def conv_transpose_polyphase(x: jnp.ndarray, wf: jnp.ndarray,
+                             bias: Optional[jnp.ndarray], r: int
+                             ) -> jnp.ndarray:
+    """Float MelGAN upsample through the exact polyphase rewrite.
+
+    Equals ``nn.ConvTranspose(ch, (2r,), strides=(r,), padding="VALID",
+    transpose_kernel=True)`` + the torch crop (models/vocoder.py:62-72),
+    computed as ONE width-2 stride-1 regular conv — a dense GEMM with
+    contraction ``2*C_in`` and output ``r*C_out``.  In float this is a
+    MEASURED dead end on v5e (0.74-0.86x vs the lhs-dilated lowering,
+    BENCH_NOTES.md "polyphase float upsamplers"); it exists as the
+    correctness anchor for the int8 polyphase path and as the recorded
+    experiment.  Exactness is pinned by tests/test_quantized.py
+    ``test_polyphase_matches_conv_transpose``.
+
+    ``x``: (B, T, C_in); ``wf``: (2r, C_out, C_in) flax
+    ``transpose_kernel=True`` layout.  Returns (B, T*r, C_out).
+    """
+    _, co, _ = wf.shape
+    pk = polyphase_from_transpose(wf, r).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    y = conv_float(xp, pk, None)
+    b, t1, _ = y.shape
+    y = y.reshape(b, t1 * r, co)
+    pad = r // 2 + r % 2
+    y = y[:, pad:pad + x.shape[1] * r, :]
+    if bias is not None:
+        y = y + bias.reshape(1, 1, -1).astype(y.dtype)
+    return y
+
+
 def conv_int8(x, w8, s_w, bias, s_x, *, strides=None, padding: Padding = 0,
               dilation=None, out_dtype: Optional[jnp.dtype] = None):
     """int8 x int8 -> int32 conv, dequantised to float.

@@ -84,12 +84,17 @@ def test_float_mirror_matches_flax_decoder(tiny):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_float_mirror_matches_flax_vocoder(tiny):
+@pytest.mark.parametrize("polyphase", [False, True])
+def test_float_mirror_matches_flax_vocoder(tiny, polyphase):
+    """Both float upsample forms (flax ConvTranspose and the polyphase
+    width-2 conv) reproduce the flax vocoder forward."""
     vq, voc, vq_params, voc_params, grid = tiny
     rng = np.random.default_rng(5)
     mel = jnp.asarray(rng.uniform(0, 1, (3, 8, 4)), jnp.float32)
     ref = MelGANGenerator(voc).apply({"params": voc_params}, mel)
-    out = qz.melgan_apply(voc_params, voc, mel, qz.FloatConvs())
+    ex = qz.FloatConvs()
+    ex.polyphase_transpose = polyphase
+    out = qz.melgan_apply(voc_params, voc, mel, ex)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
 
