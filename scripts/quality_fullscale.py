@@ -41,14 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quality_proof import N_CLASSES, make_tone_battery
+from quality_proof import (N_CLASSES, encode_grids, make_tone_battery,
+                           small_codec_cfg, train_codec,
+                           wavs_to_training_mels)
 
-from melspec_gpt_vqvae_tpu.configs import (MelConfig, VQVAEConfig,
-                                           load_preset)
-from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
-from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
+from melspec_gpt_vqvae_tpu.configs import MelConfig, load_preset
 from melspec_gpt_vqvae_tpu.training.gpt_task import GPTTask
-from melspec_gpt_vqvae_tpu.training.vqvae_task import VQVAETask
 
 VQ_STEPS = int(os.environ.get("QF_VQ_STEPS", "300"))
 STEPS = int(os.environ.get("QF_STEPS", "300"))
@@ -68,30 +66,13 @@ def main():
     wavs, labels, _ = make_tone_battery(mcfg)
     n = len(wavs)
 
-    mel_fn = jax.jit(lambda w: waveform_to_mel(w, mcfg))
-    mels = np.concatenate([np.asarray(mel_fn(jnp.asarray(wavs[i:i + 16])))
-                           for i in range(0, n, 16)])[:, :, 6:854]
-    x_all = (2.0 * mels - 1.0)[..., None].astype(np.float32)
+    _, x_all = wavs_to_training_mels(wavs, mcfg)
 
     # --- trained VQ codec (QUALITY.json recipe, GAN off) -----------------
-    vcfg = VQVAEConfig(ch=32, num_res_blocks=1, z_channels=64,
-                       embedding_dim=64, num_embeddings=128,
-                       disc_start=10 ** 9, learning_rate=3e-4, disc_ndf=16)
-    vq_task = VQVAETask(vcfg)
-    vstate = vq_task.init_state(jax.random.PRNGKey(0))
+    vcfg = small_codec_cfg(disc_start=10 ** 9)
     rng = np.random.default_rng(0)
-    for step in range(VQ_STEPS):
-        idxs = rng.integers(0, n, 8)
-        vstate, vlog = vq_task.train_step(vstate, jnp.asarray(x_all[idxs]))
-        if step % 100 == 0:
-            print(f"vqvae step {step}: rec {vlog['train/rec_loss']:.4f}",
-                  flush=True)
-    vq = VQModel(vcfg)
-    enc = jax.jit(lambda p, x: vq.apply({"params": p}, x,
-                                        method="encode_to_indices"))
-    grids = np.concatenate(
-        [np.asarray(enc(vstate["ae_params"], jnp.asarray(x_all[i:i + 16])))
-         for i in range(0, n, 16)]).astype(np.int32)
+    _, vstate, _ = train_codec(x_all, vcfg, VQ_STEPS, rng)
+    grids = encode_grids(vcfg, vstate["ae_params"], x_all)
 
     # --- held-out split: 2 clips per class -------------------------------
     val_idx = np.concatenate([np.where(labels == c)[0][-2:]
@@ -124,7 +105,7 @@ def main():
     print(f"step 0: val {milestones[0][1]:.4f}", flush=True)
 
     key = jax.random.PRNGKey(1)
-    train_losses = []          # device scalars; fetched at milestones
+    train_losses = []          # device scalars; ONE stacked fetch at end
     t_train, t_steps = 0.0, 0
     for step in range(1, STEPS + 1):
         idxs = rng.choice(tr_idx, bs, replace=True)
@@ -142,7 +123,10 @@ def main():
             print(f"step {step}: train {float(loss):.4f} val {vl:.4f}",
                   flush=True)
 
-    tl = [float(x) for x in train_losses]
+    # one d2h fetch: per-element float() would issue len(train_losses)
+    # sequential round trips through the remote tunnel (runner.py's
+    # _host comment documents the same fix)
+    tl = np.asarray(jnp.stack(train_losses), np.float32).tolist()
     vals = [v for _, v in milestones]
     # The val set is 8 clips, so single-milestone upticks of a few
     # percent are eval noise (observed: 0.3345 -> 0.3526 at one

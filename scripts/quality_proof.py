@@ -76,6 +76,56 @@ def make_tone_battery(mcfg):
             np.asarray(base_freqs))
 
 
+def wavs_to_training_mels(wavs, mcfg):
+    """Shared prep: device mels, crop to 848 frames, NHWC in [-1, 1].
+    Returns (mels01 (N,80,848), x_all (N,80,848,1)) — the input format of
+    every proof battery (quality_fullscale / spec_measured / vqgan)."""
+    n = len(wavs)
+    mel_fn = jax.jit(lambda w: waveform_to_mel(w, mcfg))
+    mels = np.concatenate([np.asarray(mel_fn(jnp.asarray(wavs[i:i + 16])))
+                           for i in range(0, n, 16)])         # (N, 80, 860)
+    mels = mels[:, :, 6:854]                                  # crop 848
+    return mels, (2.0 * mels - 1.0)[..., None].astype(np.float32)
+
+
+def small_codec_cfg(disc_start):
+    """The reduced-geometry proof codec every battery trains (ch 32,
+    1 res block, 64-d z, 128 codes) — geometry shared so a recipe fix
+    lands once."""
+    from melspec_gpt_vqvae_tpu.configs import VQVAEConfig
+    return VQVAEConfig(ch=32, num_res_blocks=1, z_channels=64,
+                       embedding_dim=64, num_embeddings=128,
+                       disc_start=disc_start, learning_rate=3e-4,
+                       disc_ndf=16)
+
+
+def train_codec(x_all, vcfg, steps, rng, bs=8, tag="vqvae"):
+    """Train a VQ codec on prepared NHWC mels (the shared proof recipe).
+    Consumes ``rng`` exactly ``steps`` draws; returns
+    (vq_task, state, last_log)."""
+    vq_task = VQVAETask(vcfg)
+    state = vq_task.init_state(jax.random.PRNGKey(0))
+    n = len(x_all)
+    log = {}
+    for step in range(steps):
+        idxs = rng.integers(0, n, bs)
+        state, log = vq_task.train_step(state, jnp.asarray(x_all[idxs]))
+        if step % 50 == 0:
+            print(f"{tag} step {step}: rec {log['train/rec_loss']:.4f} "
+                  f"perp {log['train/perplexity']:.1f}", flush=True)
+    return vq_task, state, log
+
+
+def encode_grids(vcfg, ae_params, x_all):
+    """Tokenize prepared mels with a trained codec -> (N, 5, 53) int32."""
+    vq = VQModel(vcfg)
+    enc = jax.jit(lambda p, x: vq.apply({"params": p}, x,
+                                        method="encode_to_indices"))
+    return np.concatenate(
+        [np.asarray(enc(ae_params, jnp.asarray(x_all[i:i + 16])))
+         for i in range(0, len(x_all), 16)]).astype(np.int32)
+
+
 def main():
     t_start = time.time()
     mcfg = MelConfig()
@@ -83,11 +133,7 @@ def main():
     n = len(wavs)
 
     # ---- mels (device) -------------------------------------------------
-    mel_fn = jax.jit(lambda w: waveform_to_mel(w, mcfg))
-    mels = np.concatenate([np.asarray(mel_fn(jnp.asarray(wavs[i:i + 16])))
-                           for i in range(0, n, 16)])         # (N, 80, 860)
-    mels = mels[:, :, 6:854]                                  # crop 848
-    x_all = (2.0 * mels - 1.0)[..., None].astype(np.float32)  # NHWC [-1,1]
+    mels, x_all = wavs_to_training_mels(wavs, mcfg)
 
     # dominant mel bin per class (ground truth bands from the INPUT mels):
     # argmax of the time-averaged spectrum
@@ -101,23 +147,10 @@ def main():
     # the adaptive generator weight go live on-chip; reference threshold
     # semantics: big_model_attn_gan.py:596, hinge disc :742-766,
     # adaptive weight :643-660)
-    vcfg = VQVAEConfig(ch=32, num_res_blocks=1, z_channels=64,
-                       embedding_dim=64, num_embeddings=128,
-                       disc_start=VQ_STEPS,
-                       learning_rate=3e-4, disc_ndf=16)
-    vq_task = VQVAETask(vcfg)
-    state = vq_task.init_state(jax.random.PRNGKey(0))
+    vcfg = small_codec_cfg(disc_start=VQ_STEPS)
     rng = np.random.default_rng(0)
     bs = 8
-    rec = float("nan")
-    for step in range(VQ_STEPS):
-        idxs = rng.integers(0, n, bs)
-        state, log = vq_task.train_step(state,
-                                        jnp.asarray(x_all[idxs]))
-        if step % 50 == 0:
-            rec = log["train/rec_loss"]
-            print(f"vqvae step {step}: rec {rec:.4f} "
-                  f"perp {log['train/perplexity']:.1f}", flush=True)
+    vq_task, state, log = train_codec(x_all, vcfg, VQ_STEPS, rng, bs=bs)
     rec_pre_gan = float(log["train/rec_loss"])
     print(f"vqvae recon-phase final rec {rec_pre_gan:.4f}", flush=True)
 
@@ -175,11 +208,7 @@ def main():
 
     # ---- 3) tokenize with the trained VQ-VAE ---------------------------
     vq = VQModel(vcfg)
-    enc = jax.jit(lambda p, x: vq.apply({"params": p}, x,
-                                        method="encode_to_indices"))
-    grids = np.concatenate(
-        [np.asarray(enc(state["ae_params"], jnp.asarray(x_all[i:i + 16])))
-         for i in range(0, n, 16)])                           # (N, 5, 53)
+    grids = encode_grids(vcfg, state["ae_params"], x_all)    # (N, 5, 53)
 
     # ---- 4) overfit a small class-conditional GPT ----------------------
     from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,

@@ -44,19 +44,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quality_proof import N_CLASSES, SR, make_tone_battery
+from quality_proof import (N_CLASSES, SR, encode_grids, make_tone_battery,
+                           small_codec_cfg, train_codec,
+                           wavs_to_training_mels)
 from spec_acceptance import train_gpt
 
 from melspec_gpt_vqvae_tpu.configs import (DataConfig, ExperimentConfig,
                                            GPTConfig, MelConfig,
-                                           TrainConfig, VQVAEConfig)
-from melspec_gpt_vqvae_tpu.models.gpt import (class_embed, gpt_generate,
-                                              init_gpt_params)
+                                           TrainConfig)
+from melspec_gpt_vqvae_tpu.models.gpt import class_embed, gpt_generate
 from melspec_gpt_vqvae_tpu.models.speculative import \
     gpt_speculative_generate
-from melspec_gpt_vqvae_tpu.models.vqvae import VQModel
-from melspec_gpt_vqvae_tpu.ops.mel import waveform_to_mel
-from melspec_gpt_vqvae_tpu.training.vqvae_task import VQVAETask
 
 VQ_STEPS = int(os.environ.get("SM_VQ_STEPS", "300"))
 GPT_STEPS = int(os.environ.get("SM_GPT_STEPS", "400"))
@@ -138,29 +136,12 @@ def main():
     wavs, labels, _ = battery(mcfg)
     n = len(wavs)
 
-    mel_fn = jax.jit(lambda w: waveform_to_mel(w, mcfg))
-    mels = np.concatenate([np.asarray(mel_fn(jnp.asarray(wavs[i:i + 16])))
-                           for i in range(0, n, 16)])[:, :, 6:854]
-    x_all = (2.0 * mels - 1.0)[..., None].astype(np.float32)
+    _, x_all = wavs_to_training_mels(wavs, mcfg)
 
-    vcfg = VQVAEConfig(ch=32, num_res_blocks=1, z_channels=64,
-                       embedding_dim=64, num_embeddings=128,
-                       disc_start=10 ** 9, learning_rate=3e-4, disc_ndf=16)
-    vq_task = VQVAETask(vcfg)
-    state = vq_task.init_state(jax.random.PRNGKey(0))
+    vcfg = small_codec_cfg(disc_start=10 ** 9)
     rng = np.random.default_rng(0)
-    for step in range(VQ_STEPS):
-        idxs = rng.integers(0, n, 8)
-        state, log = vq_task.train_step(state, jnp.asarray(x_all[idxs]))
-        if step % 100 == 0:
-            print(f"vqvae step {step}: rec {log['train/rec_loss']:.4f}",
-                  flush=True)
-    vq = VQModel(vcfg)
-    enc = jax.jit(lambda p, x: vq.apply({"params": p}, x,
-                                        method="encode_to_indices"))
-    grids = np.concatenate(
-        [np.asarray(enc(state["ae_params"], jnp.asarray(x_all[i:i + 16])))
-         for i in range(0, n, 16)])
+    _, state, _ = train_codec(x_all, vcfg, VQ_STEPS, rng)
+    grids = encode_grids(vcfg, state["ae_params"], x_all)
 
     # VAS geometry (config_GPT_vas.py: 24L/16H/1024d, vocab 128, block 266)
     # with a trainable-on-tones lr/bs; the DRAFT keeps the target's width
