@@ -53,33 +53,45 @@ def serving_fn(pipe, *, temperature: float = 1.0, top_k: Optional[int] = 100,
     if pipe._qstate is not None:
         raise ValueError("AOT export does not cover the int8-decode "
                          "experiment")
-    vocode = pipe._voc
-    if pipe._fused_voc:
-        # The fused resblock kernel is a serving-GRAPH choice, not a
-        # weights choice: embedding its Mosaic custom call would pin the
-        # artifact to one backend.  Instead of refusing (which made the
-        # default-built pipeline un-exportable on TPU), trace the exact
-        # plain conv path for the artifact — same weights, same transform
-        # chain as pipeline._vocode's unfused branch.
-        from .models.vocoder import MelGANGenerator
-        melgan = MelGANGenerator(pipe.exp.vocoder)
 
-        def _voc_plain(vocp, _qs, spec):
-            mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
-                             0.0, 1.0)
-            if pipe._bf16:
-                mel01 = mel01.astype(jnp.bfloat16)
-            mel01 = jnp.swapaxes(mel01, 1, 2)
-            return melgan.apply({"params": vocp}, mel01)
+    # Pallas kernels are serving-GRAPH choices, not weights choices:
+    # embedding their Mosaic custom calls would pin the artifact to one
+    # backend.  The artifact therefore traces the KERNEL-FREE program —
+    # the exact plain-conv vocode branch AND the XLA attention path
+    # (use_pallas=False; on a TPU host the live pipeline's prefill
+    # otherwise dispatches to the Pallas attention kernel,
+    # ops/attention.py:186, which jax.export serializes silently).
+    # Same weights, same transform chain; on a TPU host the live
+    # kernel path's logits can differ from the artifact's in
+    # accumulation order, so token-level live==artifact bit-equality is
+    # only guaranteed when both run the kernel-free path (as on CPU —
+    # pinned by tests/test_serving.py).  export_serving enforces the
+    # no-Mosaic invariant structurally on the lowered module.
+    from .models.gpt import class_embed, gpt_generate
+    from .models.vocoder import MelGANGenerator
+    melgan = MelGANGenerator(pipe.exp.vocoder)
+    steps = pipe.vcfg.code_h * pipe.vcfg.code_w
 
-        vocode = jax.jit(_voc_plain)
+    def _gen_plain(gp, cls, key):
+        cond = class_embed(gp, cls)
+        return gpt_generate(gp, pipe.gcfg, key, cond, None, steps=steps,
+                            temperature=temperature, top_k=top_k,
+                            top_p=top_p, sample=sample,
+                            segments=pipe.segments, use_pallas=False)
+
+    def _voc_plain(vocp, spec):
+        mel01 = jnp.clip((spec.astype(jnp.float32) + 1.0) / 2.0,
+                         0.0, 1.0)
+        if pipe._bf16:
+            mel01 = mel01.astype(jnp.bfloat16)
+        mel01 = jnp.swapaxes(mel01, 1, 2)
+        return melgan.apply({"params": vocp}, mel01)
 
     def fn(gpt_params, vq_params, voc_params, classes, seed):
         key = jax.random.PRNGKey(seed)
-        toks, _ = pipe._gen(gpt_params, None, classes, key,
-                            temperature, top_k, top_p, sample)
+        toks = _gen_plain(gpt_params, classes, key)
         specs = pipe._dec(vq_params, None, toks)
-        wavs = vocode(voc_params, None, specs)
+        wavs = _voc_plain(voc_params, specs)
         return toks, specs, wavs
 
     return fn
@@ -108,7 +120,19 @@ def export_serving(pipe, batch: int, *, temperature: float = 1.0,
             jax.ShapeDtypeStruct((batch,), jnp.int32),
             jax.ShapeDtypeStruct((), jnp.uint32))
     kw = {"platforms": tuple(platforms)} if platforms else {}
-    return jax_export.export(jax.jit(fn), **kw)(*args)
+    exported = jax_export.export(jax.jit(fn), **kw)(*args)
+    # Structural portability invariant: NO Mosaic custom call may reach
+    # the artifact (jax.export serializes tpu_custom_call without error,
+    # silently pinning the artifact to the TPU backend — the failure mode
+    # serving_fn's kernel-free trace exists to prevent).
+    mlir = exported.mlir_module()
+    for marker in ("tpu_custom_call", "mosaic"):
+        if marker in mlir:
+            raise RuntimeError(
+                f"exported module contains a backend-pinned custom call "
+                f"({marker!r}); a Pallas kernel leaked into the "
+                f"kernel-free export trace (export.serving_fn)")
+    return exported
 
 
 def tree_dtypes(pipe) -> dict:
