@@ -106,7 +106,15 @@ def migrate_legacy_tree(raw, template, defaults=None):
             v = _raw_lookup(raw, [p for p in parts if p != "inner_state"])
         if v is _MISSING:
             key = "/".join(parts)
-            if any(p in _DEFAULTABLE for p in parts) and key in dflat:
+            # Fillable = the inject_hyperparams WRAPPER state and extras
+            # only.  Anything under inner_state is the real optimizer
+            # chain (moments, counts): filling those from fresh defaults
+            # next to checkpoint-valued siblings would silently corrupt
+            # bias correction, so they stay hard errors even though
+            # 'count' also names wrapper state.
+            fillable = ("inner_state" not in parts
+                        and any(p in _DEFAULTABLE for p in parts))
+            if fillable and key in dflat:
                 v = dflat[key]
                 filled.append(key)
             else:

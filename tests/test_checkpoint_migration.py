@@ -158,3 +158,27 @@ def test_migrate_legacy_tree_direct():
     assert out["a"]["opt_state"].inner_state["0"]["mu"] == 1.0
     assert float(out["a"]["opt_state"].hyperparams["learning_rate"]) == 0.5
     assert filled == ["a/opt_state/hyperparams/learning_rate"]
+
+
+def test_migrate_refuses_inner_chain_leaves_named_like_wrapper_state():
+    """A leaf INSIDE inner_state is the real optimizer chain even when it
+    shares a whitelisted name ('count', scale_by_adam's step counter):
+    filling it from fresh defaults next to checkpoint-valued moments
+    would corrupt bias correction, so it must hard-error, not fill."""
+    import collections
+    Leafy = collections.namedtuple("Leafy", ["inner_state", "count"])
+    # raw legacy chain has mu but its adam 'count' is missing entirely
+    raw = {"opt_state": {"0": {"mu": 1.0}}}
+    tmpl = {"opt_state": Leafy(
+        inner_state={"0": {"mu": jnp.zeros(()),
+                           "count": jnp.zeros((), jnp.int32)}},
+        count=jnp.zeros((), jnp.int32))}
+    with pytest.raises(ValueError, match="inner_state/0/count"):
+        migrate_legacy_tree(raw, tmpl, defaults=tmpl)
+    # ...while the WRAPPER-level count (same name, outside inner_state)
+    # still fills from defaults
+    raw2 = {"opt_state": {"0": {"mu": 1.0,
+                                "count": jnp.ones((), jnp.int32)}}}
+    out, filled = migrate_legacy_tree(raw2, tmpl, defaults=tmpl)
+    assert filled == ["opt_state/count"]
+    assert int(out["opt_state"].inner_state["0"]["count"]) == 1
