@@ -21,6 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from melspec_gpt_vqvae_tpu.configs import VocoderConfig
 from melspec_gpt_vqvae_tpu.models import quantized as qz
@@ -28,6 +29,7 @@ from melspec_gpt_vqvae_tpu.models.vocoder import MelGANGenerator
 
 B = int(os.environ.get("VU_B", "128"))
 ITERS = int(os.environ.get("VU_ITERS", "5"))
+SCAN_ITERS = int(os.environ.get("VU_SCAN_ITERS", "8"))
 # (T_in, C_in, C_out, r) per upsample stage at mel T=848 (bench geometry)
 STAGES = [(848, 512, 256, 8), (6784, 256, 128, 8),
           (54272, 128, 64, 2), (108544, 64, 32, 2)]
@@ -41,6 +43,23 @@ def time_fn(fn, *args):
         out = fn(*args)
     s += float(jnp.sum(out[..., :1].astype(jnp.float32)))
     return (time.time() - t0) / ITERS
+
+
+def time_scan(fn, x, iters=SCAN_ITERS):
+    """One jitted lax.scan of ``iters`` dependent applications — the
+    repo-sanctioned harness (CLAUDE.md: per-call timing of single jitted
+    steps is unreliable through the tunnel).  A data-dependent scalar of
+    each output feeds the next input so the body cannot be hoisted."""
+    def step(c, _):
+        y = fn(c)
+        fb = jnp.mean(y[..., :1].astype(jnp.float32)) * 1e-6
+        return c + fb.astype(c.dtype), ()
+
+    run = jax.jit(lambda x0: lax.scan(step, x0, None, length=iters)[0])
+    run(x).block_until_ready()                      # compile + warm
+    t0 = time.time()
+    run(x).block_until_ready()
+    return (time.time() - t0) / iters
 
 
 def main():
@@ -63,9 +82,13 @@ def main():
         po = jax.jit(lambda xx, pp=p, rr=r, cc=co:
                      poly_ex.conv_transpose("u", xx, pp, cc, rr))
         row = {"convtranspose_s": round(time_fn(fl, x), 4),
-               "polyphase_s": round(time_fn(po, x), 4)}
+               "polyphase_s": round(time_fn(po, x), 4),
+               "convtranspose_scan_s": round(time_scan(fl, x), 4),
+               "polyphase_scan_s": round(time_scan(po, x), 4)}
         row["speedup"] = round(row["convtranspose_s"]
                                / max(row["polyphase_s"], 1e-9), 2)
+        row["scan_speedup"] = round(row["convtranspose_scan_s"]
+                                    / max(row["polyphase_scan_s"], 1e-9), 2)
         results[f"t{t}_c{ci}to{co}_r{r}"] = row
         print(json.dumps({f"t{t}_c{ci}to{co}_r{r}": row}), flush=True)
 
@@ -84,12 +107,18 @@ def main():
         ex.polyphase_transpose = poly
         fn = jax.jit(lambda m, pp=params, e=ex:
                      qz.melgan_apply(pp, cfg, m, e))
-        results[name] = {"s": round(time_fn(fn, mel), 4)}
+        results[name] = {"s": round(time_fn(fn, mel), 4),
+                         "scan_s": round(time_scan(
+                             lambda m: qz.melgan_apply(params, cfg, m, ex),
+                             mel), 4)}
         print(json.dumps({name: results[name]}), flush=True)
     if "stage_polyphase" in results:
         results["stage_speedup"] = round(
             results["stage_convtranspose"]["s"]
             / max(results["stage_polyphase"]["s"], 1e-9), 3)
+        results["stage_scan_speedup"] = round(
+            results["stage_convtranspose"]["scan_s"]
+            / max(results["stage_polyphase"]["scan_s"], 1e-9), 3)
     print(json.dumps({"B": B, **results}))
 
 
