@@ -455,11 +455,11 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
                     wq: Optional[Dict] = None) -> Tuple[jnp.ndarray, Dict]:
     """One cached decode step.  token: (B,) int -> (logits (B, out), cache).
 
-    The stacked (L, B, H, T, hd) caches thread through a ``fori_loop``
-    carry and each layer writes only its (1, B, H, 1, hd) slot with
-    ``dynamic_update_slice`` — XLA updates carry buffers in place, where a
-    scan-over-layers with the cache in xs/ys rewrote the full cache every
-    step.  What remains is the speed-of-light regime for AR decode:
+    The stacked (L, B, H, T, hd) caches thread through the layer-scan
+    CARRY (weights stream via xs) and each layer writes only its
+    (1, B, H, 1, hd) slot with ``dynamic_update_slice`` — XLA updates
+    carry buffers in place, where a scan-over-layers with the cache in
+    xs/ys rewrote the full cache every step.  What remains is the speed-of-light regime for AR decode:
     weight reads + one cache-slice read per layer.
     """
     pos = cache["len"]
