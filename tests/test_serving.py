@@ -345,6 +345,26 @@ def test_artifact_dtype_cast_and_uint32_seed(tmp_path):
     del bad
 
 
+def test_aot_export_rejects_mosaic_custom_calls(monkeypatch):
+    """The structural portability invariant: if a Pallas kernel ever
+    leaks into the export trace (jax.export serializes tpu_custom_call
+    WITHOUT error, silently pinning the artifact to one backend),
+    export_serving must refuse the artifact (export.py::export_serving)."""
+    from melspec_gpt_vqvae_tpu import export as aot
+
+    pipe = _tiny_service(batch=2).pipe
+
+    class _FakeExported:
+        def mlir_module(self):
+            return ("module @jit_fn { stablehlo.custom_call "
+                    "@tpu_custom_call ... }")
+
+    monkeypatch.setattr(aot.jax_export, "export",
+                        lambda fn, **kw: lambda *a: _FakeExported())
+    with pytest.raises(RuntimeError, match="tpu_custom_call"):
+        aot.export_serving(pipe, 2)
+
+
 def test_aot_export_rejects_unexportable_pipelines():
     from melspec_gpt_vqvae_tpu import export as aot
     from melspec_gpt_vqvae_tpu.configs import GPTConfig
