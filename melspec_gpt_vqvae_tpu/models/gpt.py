@@ -459,8 +459,9 @@ def gpt_decode_step(params: Params, cfg: GPTConfig, cache: Dict,
     CARRY (weights stream via xs) and each layer writes only its
     (1, B, H, 1, hd) slot with ``dynamic_update_slice`` — XLA updates
     carry buffers in place, where a scan-over-layers with the cache in
-    xs/ys rewrote the full cache every step.  What remains is the speed-of-light regime for AR decode:
-    weight reads + one cache-slice read per layer.
+    xs/ys rewrote the full cache every step.  What remains is the
+    speed-of-light regime for AR decode: weight reads + one cache-slice
+    read per layer.
     """
     pos = cache["len"]
     x = jnp.take(params["tok_emb"], token, axis=0)        # (B, D)
