@@ -19,4 +19,4 @@ Architecture (TPU-first, not a port):
   - `training/` train states, optimizers, checkpointing, logging, callbacks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
